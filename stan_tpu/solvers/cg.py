@@ -1,0 +1,135 @@
+"""Jacobi-preconditioned Conjugate Gradient as a compiled lax.while_loop.
+
+TPU-native replacement for ALGLIB's lincg path
+(src/STAN_Solver/SolverFunctions.cs:270-330): CRS SpMV + diagonal (Jacobi)
+preconditioning. Semantics preserved:
+
+  * stopping rule ||r|| <= tol * ||b||  (lincgsetcond EpsF semantics,
+    SolverFunctions.cs:281-296),
+  * maxiter == 0 means "automatic" (here: cap at ndof, the theoretical
+    exact-termination bound; ALGLIB picks a small internal eps instead,
+    Analysis.cs:17-21 defaults tol=1e-6, maxiter=0).
+
+Design notes (TPU):
+  * the operator `A` is any callable u -> A.u with u an arbitrary pytree-free
+    array shape; the FEM path passes [nnode, 3] arrays so gather/scatter
+    stay 2-D and vector-unit friendly -- no flattening to [ndof].
+  * dot products use float64 accumulation when the data is f32? No --
+    dtype follows the input; run the whole solve in f64 (x64 mode) for
+    reference parity, f32(+refinement) for speed benches.
+  * `axis_name`: when run inside shard_map, set to the mesh axis over which
+    node blocks are sharded; all reductions become psum over that axis so
+    the same code serves single-chip and multi-chip solves.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    u: jax.Array
+    iters: jax.Array  # i32 scalar
+    residual: jax.Array  # final ||r||
+    converged: jax.Array  # bool
+
+
+def _sum(x, axis_name):
+    s = jnp.sum(x)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return s
+
+
+def pcg(
+    A: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    *,
+    diag: Optional[jax.Array] = None,
+    tol: float = 1.0e-6,
+    maxiter: int = 0,
+    ndof: Optional[int] = None,
+    axis_name: Optional[str] = None,
+    x0: Optional[jax.Array] = None,
+) -> CGResult:
+    """Solve A u = b with Jacobi-preconditioned CG.
+
+    Args:
+      A: SPD linear operator.
+      b: right-hand side (any shape; reductions are over all elements).
+      diag: diagonal of A for Jacobi preconditioning (same shape as b).
+            None disables preconditioning.
+      tol: relative residual tolerance, ||r|| <= tol * ||b||.
+      maxiter: iteration cap; 0 = automatic (ndof).
+      ndof: total DOF count (for the automatic cap); defaults to b.size
+            (multiply by axis size yourself when sharded).
+      axis_name: mesh axis for psum reductions under shard_map.
+      x0: initial guess (defaults to zeros).
+    """
+    if maxiter == 0:
+        maxiter = int(ndof if ndof is not None else b.size)
+    inv_diag = None if diag is None else jnp.where(diag != 0, 1.0 / diag, 0.0)
+
+    def precond(r):
+        return r if inv_diag is None else inv_diag * r
+
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x)
+    z = precond(r)
+    p = z
+    rz = _sum(r * z, axis_name)
+    bnorm = jnp.sqrt(_sum(b * b, axis_name))
+    # Guard b == 0: solution is 0, declare converged immediately.
+    threshold = tol * jnp.maximum(bnorm, jnp.finfo(b.dtype).tiny)
+
+    def cond(state):
+        _, r, _, _, k = state
+        rnorm = jnp.sqrt(_sum(r * r, axis_name))
+        return jnp.logical_and(rnorm > threshold, k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = A(p)
+        alpha = rz / _sum(p * Ap, axis_name)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = _sum(r * z, axis_name)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, p, rz_new, k + 1)
+
+    x, r, p, rz, iters = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, jnp.int32(0))
+    )
+    rnorm = jnp.sqrt(_sum(r * r, axis_name))
+    return CGResult(u=x, iters=iters, residual=rnorm, converged=rnorm <= threshold)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def pcg_fixed_iters(A_args, b, A_fn, niters: int):
+    """Fixed-iteration-count CG (lax.fori_loop) for benchmarking: the body is
+    identical to `pcg` but iteration count is static, so the benchmark
+    measures pure SpMV + reduction throughput without convergence effects."""
+    A = lambda u: A_fn(A_args, u)
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rz = jnp.sum(r * r)
+
+    def body(_, state):
+        x, r, p, rz = state
+        Ap = A(p)
+        alpha = rz / jnp.sum(p * Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rz_new = jnp.sum(r * r)
+        p = r + (rz_new / rz) * p
+        return (x, r, p, rz_new)
+
+    x, r, _, _ = jax.lax.fori_loop(0, niters, body, (x, r, p, rz))
+    return x, jnp.sqrt(jnp.sum(r * r))
