@@ -104,7 +104,9 @@ def solve_linear_statics(
             iters = int(res.iters)
             residual = float(res.residual)
             converged = bool(res.converged)
-            timer.records[-1]["iters"] = iters
+        # Annotate after the phase context exits (the record is appended
+        # on exit; inside the block records[-1] is the previous phase).
+        timer.records[-1]["iters"] = iters
     elif solver in ("Cholesky", "LU"):
         with timer.phase(f"Assembly (dense)"):
             K = assembly.assemble_dense(

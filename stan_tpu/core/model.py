@@ -120,6 +120,9 @@ class FEModel:
     disp: Optional[np.ndarray] = None
     stress: Optional[np.ndarray] = None
     strain: Optional[np.ndarray] = None
+    # Per-card import failures (analogue of Database.Import_Error,
+    # reference: Database.cs:18,72-94 — collected, never fatal).
+    import_errors: List[str] = dataclasses.field(default_factory=list)
 
     @property
     def nnode(self) -> int:

@@ -1,0 +1,252 @@
+"""STdb file IO: the reference's single-file model+results format.
+
+The STdb file is a protobuf-serialized ``Database`` message; the same file is
+the solver's input and, overwritten, its output (reference:
+src/STAN_Solver/Solver.cs:18-69,454-462, README.md:73). The schema here
+(``stdb.proto`` / generated ``stdb_pb2.py``) reconstructs the reference's
+implicit protobuf-net contract field-for-field so files interoperate in both
+directions; see the .proto for the [ProtoMember] citations.
+
+Regenerate the bindings with:  protoc --python_out=. stdb.proto  (in this dir).
+
+Conversion notes:
+  * The object graph (Dictionary<int, Node> etc.) is flattened to the
+    struct-of-arrays ``FEModel``; external IDs live in side tables.
+  * Node.EList element back-references (Node.cs:16) are rebuilt from the
+    connectivity on write — the reference's AssignDOF and post both need them.
+  * Node.DOF is written as the dense 0-based numbering (3i, 3i+1, 3i+2); the
+    reference recomputes AssignDOF on load anyway (Solver.cs:46).
+  * Results: Node.DispX/Y/Z per-increment histories and Element.Strain/Stress
+    per-increment [nnode x 6] MatrixST lists map to the dense arrays
+    model.disp [ninc+1, nnode, 3] / model.strain/stress [ninc+1, nelem, nn, 6].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from stan_tpu.core.model import (
+    AnalysisSettings,
+    BoundaryCondition,
+    FEModel,
+    Material,
+    PartInfo,
+)
+from stan_tpu.io import stdb_pb2 as pb
+
+
+# ---------------------------------------------------------------------------
+# FEModel -> proto
+# ---------------------------------------------------------------------------
+
+def to_proto(model: FEModel) -> pb.Database:
+    db = pb.Database()
+    nnode, nelem = model.nnode, model.nelem
+    ninc = 0 if model.disp is None else model.disp.shape[0]
+
+    # Element back-references per node (dense index -> list of element IDs).
+    elist: list[list[int]] = [[] for _ in range(nnode)]
+    conn = np.asarray(model.conn)
+    eids = np.asarray(model.elem_ids)
+    for e in range(nelem):
+        for n in conn[e]:
+            elist[int(n)].append(int(eids[e]))
+
+    disp = None if model.disp is None else np.asarray(model.disp)
+    for i in range(nnode):
+        nid = int(model.node_ids[i])
+        n = db.node_lib[nid]
+        n.id = nid
+        n.x, n.y, n.z = (float(v) for v in model.coords[i])
+        n.elist.extend(elist[i])
+        n.dof.extend([3 * i, 3 * i + 1, 3 * i + 2])
+        if disp is not None:
+            n.disp_x.extend(float(v) for v in disp[:, i, 0])
+            n.disp_y.extend(float(v) for v in disp[:, i, 1])
+            n.disp_z.extend(float(v) for v in disp[:, i, 2])
+
+    strain = None if model.strain is None else np.asarray(model.strain)
+    stress = None if model.stress is None else np.asarray(model.stress)
+    node_ids = np.asarray(model.node_ids)
+    for e in range(nelem):
+        eid = int(eids[e])
+        el = db.elem_lib[eid]
+        el.id = eid
+        el.type = model.elem_type[e]
+        el.pid = int(model.elem_pid[e])
+        el.mat_id = 0 if model.elem_mat is None else int(model.elem_mat[e])
+        el.nlist.extend(int(node_ids[n]) for n in conn[e])
+        nn = conn.shape[1]
+        for inc in range(ninc):
+            if strain is not None:
+                el.strain.append(_matrix(strain[inc, e], nn, 6))
+            if stress is not None:
+                el.stress.append(_matrix(stress[inc, e], nn, 6))
+
+    for mid, mat in sorted(model.materials.items()):
+        m = db.mat_lib[mid]
+        m.id = mat.id
+        m.type = mat.type
+        m.name = mat.name
+        m.e = mat.E
+        m.poisson = mat.poisson
+        m.color_id = mat.color_id
+
+    for bid, bc in sorted(model.bcs.items()):
+        b = db.bc_lib[bid]
+        b.type = bc.type
+        b.name = bc.name
+        b.id = bc.id
+        b.color_id = bc.color_id
+        for nid, vals in bc.nodal_values.items():
+            b.nodal_values[int(nid)].CopyFrom(
+                _matrix(np.asarray(vals, dtype=np.float64).reshape(3, 1), 3, 1)
+            )
+
+    a = model.analysis
+    db.analysis_lib.type = a.type
+    db.analysis_lib.lin_solver = a.lin_solver
+    db.analysis_lib.lin_solver_tolerance = a.lin_solver_tolerance
+    db.analysis_lib.lin_solver_iter_max = a.lin_solver_maxiter
+    db.analysis_lib.inc_numb = a.inc_numb
+    db.analysis_lib.result_step_no = a.result_step_no
+
+    for pid, info in sorted(model.part_info.items()):
+        p = db.info.info_part[pid]
+        p.color_id = info.color_id
+        p.mat_id = info.mat_id
+        p.name = info.name
+        p.hex_type = info.hex_type
+        p.penta_type = info.penta_type
+        p.tet_type = info.tet_type
+
+    db.n_dof = 3 * nnode
+    return db
+
+
+def _matrix(arr: np.ndarray, rows: int, cols: int) -> pb.MatrixST:
+    m = pb.MatrixST(rows=rows, cols=cols)
+    m.m.extend(float(v) for v in np.asarray(arr, dtype=np.float64).ravel())
+    return m
+
+
+# ---------------------------------------------------------------------------
+# proto -> FEModel
+# ---------------------------------------------------------------------------
+
+def from_proto(db: pb.Database) -> FEModel:
+    node_ids = np.array(sorted(db.node_lib), dtype=np.int64)
+    nnode = len(node_ids)
+    coords = np.zeros((nnode, 3), dtype=np.float64)
+    for i, nid in enumerate(node_ids):
+        n = db.node_lib[int(nid)]
+        coords[i] = (n.x, n.y, n.z)
+
+    elem_ids = np.array(sorted(db.elem_lib), dtype=np.int64)
+    nelem = len(elem_ids)
+    if nelem:
+        nn = len(db.elem_lib[int(elem_ids[0])].nlist)
+    else:
+        nn = 8
+    conn_ext = np.zeros((nelem, nn), dtype=np.int64)
+    elem_pid = np.zeros(nelem, dtype=np.int64)
+    elem_mat = np.zeros(nelem, dtype=np.int64)
+    elem_type = []
+    for e, eid in enumerate(elem_ids):
+        el = db.elem_lib[int(eid)]
+        if len(el.nlist) != nn:
+            raise ValueError(
+                f"Mixed element sizes: element {eid} has {len(el.nlist)} nodes"
+            )
+        conn_ext[e] = list(el.nlist)
+        elem_pid[e] = el.pid
+        elem_mat[e] = el.mat_id
+        elem_type.append(el.type or "HEX8_G2")
+    # External node IDs -> dense indices.
+    conn = np.searchsorted(node_ids, conn_ext)
+    if nelem and not np.all(node_ids[conn] == conn_ext):
+        raise ValueError("Element references unknown node ID")
+
+    model = FEModel(
+        node_ids=node_ids,
+        coords=coords,
+        elem_ids=elem_ids,
+        conn=conn,
+        elem_pid=elem_pid,
+        elem_type=elem_type,
+        elem_mat=elem_mat if nelem else None,
+    )
+
+    for mid, m in db.mat_lib.items():
+        model.materials[mid] = Material(
+            id=m.id, name=m.name or "blank", type=m.type or "Elastic",
+            E=m.e, poisson=m.poisson, color_id=m.color_id,
+        )
+
+    for bid, b in db.bc_lib.items():
+        bc = BoundaryCondition(
+            id=b.id, type=b.type, name=b.name or "blank", color_id=b.color_id
+        )
+        for nid, mat in b.nodal_values.items():
+            bc.nodal_values[nid] = np.asarray(mat.m, dtype=np.float64).reshape(-1)[:3]
+        model.bcs[bid] = bc
+
+    a = db.analysis_lib
+    model.analysis = AnalysisSettings(
+        type=a.type or "Linear_Statics",
+        lin_solver=a.lin_solver or "CG",
+        lin_solver_tolerance=a.lin_solver_tolerance or 1.0e-6,
+        lin_solver_maxiter=a.lin_solver_iter_max,
+        inc_numb=a.inc_numb,
+        result_step_no=a.result_step_no,
+    )
+
+    for pid, p in db.info.info_part.items():
+        model.part_info[pid] = PartInfo(
+            color_id=p.color_id, mat_id=p.mat_id, name=p.name or "blank",
+            hex_type=p.hex_type or "blank", penta_type=p.penta_type or "blank",
+            tet_type=p.tet_type or "blank",
+        )
+
+    # Results (result_step_no > 0 means increments 0..result_step_no present,
+    # reference: Analysis.cs:13, MainWindow.xaml.cs:681-690).
+    ninc = model.analysis.result_step_no + 1 if model.analysis.result_step_no else 0
+    if ninc:
+        disp = np.zeros((ninc, nnode, 3), dtype=np.float64)
+        ok = True
+        for i, nid in enumerate(node_ids):
+            n = db.node_lib[int(nid)]
+            if len(n.disp_x) < ninc:
+                ok = False
+                break
+            disp[:, i, 0] = list(n.disp_x)[:ninc]
+            disp[:, i, 1] = list(n.disp_y)[:ninc]
+            disp[:, i, 2] = list(n.disp_z)[:ninc]
+        if ok:
+            model.disp = disp
+            strain = np.zeros((ninc, nelem, nn, 6), dtype=np.float64)
+            stress = np.zeros((ninc, nelem, nn, 6), dtype=np.float64)
+            for e, eid in enumerate(elem_ids):
+                el = db.elem_lib[int(eid)]
+                for inc in range(min(ninc, len(el.strain))):
+                    strain[inc, e] = np.asarray(el.strain[inc].m).reshape(nn, 6)
+                for inc in range(min(ninc, len(el.stress))):
+                    stress[inc, e] = np.asarray(el.stress[inc].m).reshape(nn, 6)
+            model.strain = strain
+            model.stress = stress
+    return model
+
+
+# ---------------------------------------------------------------------------
+# File-level API (same contract as the reference: one file, read + overwrite)
+# ---------------------------------------------------------------------------
+
+def write(model: FEModel, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(to_proto(model).SerializeToString())
+
+
+def read(path: str) -> FEModel:
+    with open(path, "rb") as f:
+        data = f.read()
+    return from_proto(pb.Database.FromString(data))
