@@ -28,7 +28,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from stan_tpu.fem.elements import ElementFormulation
+
+# All FEM contractions pin HIGHEST matmul precision: TPUs otherwise run f32
+# einsums with bf16 multiplications, which stalls Newton/CG convergence
+# (residuals plateau near 1e-2 relative). The contraction dims here are tiny
+# (3/6/8), so the 3-pass cost is negligible against gather/scatter traffic.
+_einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 # Index pairs mapping Voigt component -> tensor entry, order (xx,yy,zz,xy,yz,xz)
 _VOIGT_I = (0, 1, 2, 0, 1, 0)
@@ -81,10 +89,10 @@ def element_geometry(coords_e: jax.Array, form: ElementFormulation):
     dN_local = jnp.asarray(form.gauss_dN, dtype=dtype)  # [G, 3, nn]
     w = jnp.asarray(form.gauss_w, dtype=dtype)  # [G]
     # J[e,g] = dN_local[g] @ coords_e[e]  -> [E, G, 3, 3] (Element.cs:274-292)
-    J = jnp.einsum("gkn,enj->egkj", dN_local, coords_e)
+    J = _einsum("gkn,enj->egkj", dN_local, coords_e)
     detJ = det3(J)
     Jinv = inv3(J)
-    dN = jnp.einsum("egkl,gln->egkn", Jinv, dN_local)
+    dN = _einsum("egkl,gln->egkn", Jinv, dN_local)
     return dN, detJ * w[None, :]
 
 
@@ -121,14 +129,14 @@ def element_stiffness(coords_e: jax.Array, D_e: jax.Array, form: ElementFormulat
     """
     dN, detJw = element_geometry(coords_e, form)
     B = b_matrix(dN)  # [E, G, 6, 3nn]
-    return jnp.einsum("egia,eij,egjb,eg->eab", B, D_e, B, detJw)
+    return _einsum("egia,eij,egjb,eg->eab", B, D_e, B, detJw)
 
 
 def element_stiffness_diag(coords_e, D_e, form: ElementFormulation):
     """diag(ke)[E, 3nn] without materializing ke (for Jacobi preconditioning)."""
     dN, detJw = element_geometry(coords_e, form)
     B = b_matrix(dN)
-    return jnp.einsum("egia,eij,egja,eg->ea", B, D_e, B, detJw)
+    return _einsum("egia,eij,egja,eg->ea", B, D_e, B, detJw)
 
 
 def strain_at_gauss(dN: jax.Array, u_e: jax.Array) -> jax.Array:
@@ -138,7 +146,7 @@ def strain_at_gauss(dN: jax.Array, u_e: jax.Array) -> jax.Array:
     engineering shear (gamma_ij = H_ij + H_ji).
     """
     # H[e,g,k,j] = sum_n dN[e,g,k,n] u_e[e,n,j]  (k = d/dx_k, j = component)
-    H = jnp.einsum("egkn,enj->egkj", dN, u_e)
+    H = _einsum("egkn,enj->egkj", dN, u_e)
     return jnp.stack(
         [
             H[..., 0, 0],
@@ -173,10 +181,10 @@ def internal_force(dN, detJw, D_e, u_e) -> jax.Array:
     consistent Gauss-point form is used here.)
     """
     eps = strain_at_gauss(dN, u_e)  # [E, G, 6]
-    sig = jnp.einsum("eij,egj->egi", D_e, eps)  # [E, G, 6]
+    sig = _einsum("eij,egj->egi", D_e, eps)  # [E, G, 6]
     T = voigt_to_tensor(sig)  # [E, G, 3, 3]
     # f[e,n,j] = sum_g detJw * sum_k dN[e,g,k,n] * T[e,g,j,k]
-    return jnp.einsum("egkn,egjk,eg->enj", dN, T, detJw)
+    return _einsum("egkn,egjk,eg->enj", dN, T, detJw)
 
 
 def recover_stress_strain(dN, detJw, D_e, u_e, form: ElementFormulation):
@@ -189,8 +197,8 @@ def recover_stress_strain(dN, detJw, D_e, u_e, form: ElementFormulation):
     Returns (strain_n, stress_n): each [E, nn, 6].
     """
     eps_g = strain_at_gauss(dN, u_e)  # [E, G, 6]
-    sig_g = jnp.einsum("eij,egj->egi", D_e, eps_g)
+    sig_g = _einsum("eij,egj->egi", D_e, eps_g)
     W = jnp.asarray(form.extrap, dtype=u_e.dtype)  # [nn, G]
-    eps_n = jnp.einsum("ng,egi->eni", W, eps_g)
-    sig_n = jnp.einsum("ng,egi->eni", W, sig_g)
+    eps_n = _einsum("ng,egi->eni", W, eps_g)
+    sig_n = _einsum("ng,egi->eni", W, sig_g)
     return eps_n, sig_n

@@ -34,6 +34,7 @@ import numpy as np
 
 from stan_tpu.fem import kernels
 from stan_tpu.fem.elements import ElementFormulation
+from stan_tpu.fem.kernels import _einsum
 
 
 def default_dtype():
@@ -61,6 +62,9 @@ class StiffnessOperator:
     free_mask: jax.Array
     nnode: int
     form: ElementFormulation
+    # Transposed incidence i32[nnode, maxdeg] into the flattened [E*nn (+1
+    # zero pad row)] element-node axis; None falls back to segment_sum.
+    inc_idx: Optional[jax.Array] = None
 
     @property
     def dtype(self):
@@ -71,10 +75,23 @@ class StiffnessOperator:
         return u[self.conn]
 
     def scatter_add(self, f_e: jax.Array) -> jax.Array:
-        """f_e[E, nn, 3] -> f[nnode, 3] via deterministic segment-sum."""
+        """f_e[E, nn, 3] -> f[nnode, 3], deterministic.
+
+        Preferred path: the precomputed incidence transpose turns the
+        scatter into a padded gather + small-axis sum — XLA lowers gathers
+        to fast dynamic-slices on TPU whereas true scatter-adds serialize
+        (pallas_guide.md: prefer gather formulations). Fallback:
+        segment_sum (still deterministic, unlike the reference's
+        lock-protected hash scatter, SolverFunctions.cs:162-167).
+        """
         flat = f_e.reshape(-1, 3)
-        seg = self.conn.reshape(-1)
-        return jax.ops.segment_sum(flat, seg, num_segments=self.nnode)
+        if self.inc_idx is None:
+            return jax.ops.segment_sum(flat, self.conn.reshape(-1),
+                                       num_segments=self.nnode)
+        padded = jnp.concatenate(
+            [flat, jnp.zeros((1, 3), dtype=flat.dtype)], axis=0
+        )
+        return padded[self.inc_idx].sum(axis=1)
 
     def apply_raw(self, u: jax.Array) -> jax.Array:
         """K.u without BC masking; u, result: [nnode, 3]."""
@@ -115,9 +132,28 @@ def _element_diag(dN, detJw, D):
     ]
     out = []
     for c in cols:  # c: [E, G, nn, 6]
-        dc = jnp.einsum("eij,egnj->egni", D, c)
-        out.append(jnp.einsum("egni,egni,eg->en", c, dc, detJw))
+        dc = _einsum("eij,egnj->egni", D, c)
+        out.append(_einsum("egni,egni,eg->en", c, dc, detJw))
     return jnp.stack(out, axis=-1)  # [E, nn, 3]
+
+
+def node_incidence(conn: np.ndarray, nnode: int) -> np.ndarray:
+    """Transposed incidence map for the gather-based scatter.
+
+    Returns i32[nnode, maxdeg]: for each node, the positions in the
+    flattened [E*nn] element-node axis that touch it; padding entries point
+    one past the end (a zero row is appended on the device side). Host-side
+    O(E nn log(E nn)) preprocessing, done once per mesh.
+    """
+    flat = np.asarray(conn).reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    counts = np.bincount(flat, minlength=nnode)
+    maxdeg = int(counts.max()) if flat.size else 0
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(flat.size) - starts[flat[order]]
+    idx = np.full((nnode, maxdeg), flat.size, dtype=np.int64)
+    idx[flat[order], pos] = order
+    return idx
 
 
 def build_operator(
@@ -127,6 +163,7 @@ def build_operator(
     fix_mask: np.ndarray | jax.Array,
     form: ElementFormulation,
     dtype=None,
+    use_incidence: bool = True,
 ) -> StiffnessOperator:
     """Precompute geometry and build the masked matrix-free operator.
 
@@ -134,11 +171,17 @@ def build_operator(
     """
     if dtype is None:
         dtype = default_dtype()
+    conn_np = np.asarray(conn)
     coords = jnp.asarray(coords, dtype=dtype)
-    conn = jnp.asarray(conn, dtype=jnp.int32)
+    conn = jnp.asarray(conn_np, dtype=jnp.int32)
     D_e = jnp.asarray(D_e, dtype=dtype)
     free = 1.0 - jnp.asarray(fix_mask, dtype=dtype)
     dN, detJw = kernels.element_geometry(coords[conn], form)
+    inc = None
+    if use_incidence:
+        inc = jnp.asarray(
+            node_incidence(conn_np, int(coords.shape[0])), dtype=jnp.int32
+        )
     return StiffnessOperator(
         conn=conn,
         dN=dN,
@@ -147,14 +190,17 @@ def build_operator(
         free_mask=free,
         nnode=int(coords.shape[0]),
         form=form,
+        inc_idx=inc,
     )
 
 
 jax.tree_util.register_pytree_node(
     StiffnessOperator,
     lambda op: (
-        (op.conn, op.dN, op.detJw, op.D, op.free_mask),
+        (op.conn, op.dN, op.detJw, op.D, op.free_mask, op.inc_idx),
         (op.nnode, op.form),
     ),
-    lambda aux, leaves: StiffnessOperator(*leaves, nnode=aux[0], form=aux[1]),
+    lambda aux, leaves: StiffnessOperator(
+        *leaves[:5], nnode=aux[0], form=aux[1], inc_idx=leaves[5]
+    ),
 )

@@ -24,6 +24,7 @@ they are numerically inert.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from stan_tpu.fem import kernels
 from stan_tpu.fem.elements import ElementFormulation
-from stan_tpu.fem.operator import default_dtype, _element_diag
+from stan_tpu.fem.operator import default_dtype, _element_diag, node_incidence
 from stan_tpu.parallel.partition import Partition, partition as make_partition
 from stan_tpu.solvers import cg as cg_mod
 
@@ -59,6 +60,10 @@ class ShardedOperator:
     block: int
     form: ElementFormulation
     axis: str = "domain"
+    # Per-device transposed incidence [ndev, nnode_pad, maxdeg] into the
+    # local flattened [epb*nn (+1 pad)] axis (see operator.node_incidence);
+    # None falls back to segment_sum inside each shard.
+    inc_idx: Optional[jax.Array] = None
 
 
 def _local_apply(op_local: ShardedOperator, u_local: jax.Array) -> jax.Array:
@@ -73,11 +78,17 @@ def _local_apply(op_local: ShardedOperator, u_local: jax.Array) -> jax.Array:
     u_full = jax.lax.all_gather(u_masked, ax, tiled=True)  # [nnode_pad, 3]
     u_e = u_full[op_local.conn]  # [epb, nn, 3]
     f_e = kernels.internal_force(op_local.dN, op_local.detJw, op_local.D, u_e)
-    f_partial = jax.ops.segment_sum(
-        f_e.reshape(-1, 3),
-        op_local.conn.reshape(-1),
-        num_segments=op_local.nnode_pad,
-    )
+    flat = f_e.reshape(-1, 3)
+    if op_local.inc_idx is None:
+        f_partial = jax.ops.segment_sum(
+            flat, op_local.conn.reshape(-1), num_segments=op_local.nnode_pad
+        )
+    else:
+        padded = jnp.concatenate(
+            [flat, jnp.zeros((1, 3), dtype=flat.dtype)], axis=0
+        )
+        # inc_idx local slice is [1, nnode_pad, maxdeg] (leading device axis)
+        f_partial = padded[op_local.inc_idx[0]].sum(axis=1)
     # Reduce partial contributions across devices, keep own block.
     f_local = jax.lax.psum_scatter(
         f_partial, ax, scatter_dimension=0, tiled=True
@@ -92,6 +103,7 @@ def operator_specs(op: ShardedOperator) -> "ShardedOperator":
         conn=P(ax), dN=P(ax), detJw=P(ax), D=P(ax),
         free_mask=P(ax, None), diag=P(ax, None),
         nnode_pad=op.nnode_pad, block=op.block, form=op.form, axis=ax,
+        inc_idx=None if op.inc_idx is None else P(ax, None, None),
     )
 
 
@@ -130,6 +142,17 @@ def build_sharded_operator(
     free = np.zeros((part.nnode_pad, 3), dtype=np.float64)
     free[part.perm] = 1.0 - np.asarray(fix_mask, dtype=np.float64)
 
+    # Per-device incidence transpose (gather-based scatter, see
+    # operator.scatter_add): computed per shard, padded to a common maxdeg.
+    incs = [
+        node_incidence(part.conn[d], part.nnode_pad) for d in range(ndev)
+    ]
+    maxdeg = max(i.shape[1] for i in incs)
+    pad_val = part.epb * nn
+    inc = np.full((ndev, part.nnode_pad, maxdeg), pad_val, dtype=np.int64)
+    for d, i in enumerate(incs):
+        inc[d, :, : i.shape[1]] = i
+
     conn_flat = part.conn.reshape(ne_pad, nn)
     op = ShardedOperator(
         conn=jnp.asarray(conn_flat, dtype=jnp.int32),
@@ -141,6 +164,7 @@ def build_sharded_operator(
         nnode_pad=part.nnode_pad,
         block=part.block,
         form=form,
+        inc_idx=jnp.asarray(inc, dtype=jnp.int32),
     )
     # Jacobi diagonal (one-time setup, computed unsharded).
     d_e = _element_diag(op.dN, op.detJw, op.D)
@@ -173,9 +197,10 @@ def sharded_pcg(
     if maxiter == 0:
         maxiter = ndof
 
-    def body(conn, dN, detJw, D, free, diag, f_local):
+    def body(conn, dN, detJw, D, free, diag, inc, f_local):
         local_op = dataclasses.replace(
-            op, conn=conn, dN=dN, detJw=detJw, D=D, free_mask=free, diag=diag
+            op, conn=conn, dN=dN, detJw=detJw, D=D, free_mask=free,
+            diag=diag, inc_idx=inc,
         )
         rhs = free * f_local
         return cg_mod.pcg(
@@ -188,14 +213,15 @@ def sharded_pcg(
         body,
         mesh=mesh,
         in_specs=(specs.conn, specs.dN, specs.detJw, specs.D,
-                  specs.free_mask, specs.diag, P(axis, None)),
+                  specs.free_mask, specs.diag, specs.inc_idx,
+                  P(axis, None)),
         out_specs=cg_mod.CGResult(
             u=P(axis, None), iters=P(), residual=P(), converged=P()
         ),
         check_vma=False,
     )
     return jax.jit(fn)(
-        op.conn, op.dN, op.detJw, op.D, op.free_mask, op.diag, f
+        op.conn, op.dN, op.detJw, op.D, op.free_mask, op.diag, op.inc_idx, f
     )
 
 
