@@ -1,0 +1,255 @@
+"""Hamiltonian Monte Carlo with Stan-style warmup, vmapped/sharded chains.
+
+New capability mandated by BASELINE.json ("NUTS/HMC calibration ... 1024
+chains sharded over hosts"); the reference has no inference layer. Design:
+
+  * the target is any jax-differentiable log density logp(theta) (for FEM
+    calibration, built on infer/forward.py's implicit-diff solve);
+  * one HMC transition = static-length leapfrog inside jit;
+  * chains are a leading vmap axis; placing that axis on a mesh with
+    NamedSharding("chains") makes XLA run chains SPMD across devices — the
+    chain-parallelism component of SURVEY.md §2.5 (cross-chain reductions
+    like R-hat are psum-free host-side reads of the sharded result);
+  * warmup follows Stan: dual-averaging step-size adaptation toward a
+    target acceptance rate + diagonal mass-matrix (Welford) estimation,
+    all inside one lax.scan.
+
+Everything is fully deterministic given the PRNG key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class HMCState(NamedTuple):
+    theta: jax.Array  # [D]
+    logp: jax.Array  # scalar
+    grad: jax.Array  # [D]
+
+
+class DualAvgState(NamedTuple):
+    log_step: jax.Array
+    log_step_avg: jax.Array
+    h_avg: jax.Array
+    t: jax.Array
+    mu: jax.Array
+
+
+def _leapfrog(logp_grad, state: HMCState, p, step, inv_mass, n_steps):
+    """Static-length leapfrog integrator."""
+
+    def body(_, carry):
+        theta, p, logp, grad = carry
+        p = p + 0.5 * step * grad
+        theta = theta + step * inv_mass * p
+        logp, grad = logp_grad(theta)
+        p = p + 0.5 * step * grad
+        return (theta, p, logp, grad)
+
+    theta, p, logp, grad = jax.lax.fori_loop(
+        0, n_steps, body, (state.theta, p, state.logp, state.grad)
+    )
+    return HMCState(theta, logp, grad), p
+
+
+def hmc_transition(logp_grad, rng, state: HMCState, step, inv_mass, n_steps):
+    """One Metropolis-corrected HMC proposal. Returns (state, accept_prob)."""
+    k_mom, k_acc = jax.random.split(rng)
+    mass = 1.0 / inv_mass
+    p0 = jax.random.normal(k_mom, state.theta.shape, state.theta.dtype)
+    p0 = p0 * jnp.sqrt(mass)
+    new, p1 = _leapfrog(logp_grad, state, p0, step, inv_mass, n_steps)
+    ke0 = 0.5 * jnp.sum(inv_mass * p0**2)
+    ke1 = 0.5 * jnp.sum(inv_mass * p1**2)
+    log_ratio = (new.logp - ke1) - (state.logp - ke0)
+    log_ratio = jnp.where(jnp.isfinite(log_ratio), log_ratio, -jnp.inf)
+    accept_prob = jnp.minimum(1.0, jnp.exp(log_ratio))
+    accept = jax.random.uniform(k_acc) < accept_prob
+    out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accept, a, b), new, state
+    )
+    return out, accept_prob
+
+
+def _dual_avg_init(step0):
+    log_step = jnp.log(step0)
+    return DualAvgState(
+        log_step=log_step,
+        log_step_avg=log_step,
+        h_avg=jnp.zeros_like(log_step),
+        t=jnp.zeros_like(log_step),
+        mu=jnp.log(10.0) + log_step,
+    )
+
+
+def _dual_avg_update(s: DualAvgState, accept_prob, target=0.8,
+                     gamma=0.05, t0=10.0, kappa=0.75):
+    t = s.t + 1.0
+    h_avg = (1.0 - 1.0 / (t + t0)) * s.h_avg + (target - accept_prob) / (t + t0)
+    log_step = s.mu - jnp.sqrt(t) / gamma * h_avg
+    eta = t ** (-kappa)
+    log_step_avg = eta * log_step + (1.0 - eta) * s.log_step_avg
+    return DualAvgState(log_step, log_step_avg, h_avg, t, s.mu)
+
+
+@dataclasses.dataclass
+class HMCResult:
+    samples: np.ndarray  # [chains, n_samples, D]
+    accept_rate: np.ndarray  # [chains]
+    step_size: np.ndarray  # [chains]
+    inv_mass: np.ndarray  # [chains, D]
+    rhat: np.ndarray  # [D]
+    ess: np.ndarray  # [D]
+
+
+def run_hmc(
+    logp_fn: Callable[[jax.Array], jax.Array],
+    theta0: jax.Array,  # [chains, D]
+    rng: jax.Array,
+    *,
+    n_samples: int = 1000,
+    n_warmup: int = 500,
+    n_leapfrog: int = 16,
+    init_step: float = 0.1,
+    target_accept: float = 0.8,
+    mesh=None,
+    chain_axis: str = "chains",
+) -> HMCResult:
+    """Run vmapped HMC chains with warmup; optionally shard over a mesh.
+
+    With `mesh` given, the chain axis of state/samples is placed on
+    `chain_axis` via NamedSharding, so XLA executes chains SPMD across
+    devices (multi-host ready via jax.distributed initialization).
+    """
+    theta0 = jnp.asarray(theta0)
+    n_chains, dim = theta0.shape
+
+    val_grad = jax.value_and_grad(logp_fn)
+
+    def logp_grad(theta):
+        v, g = val_grad(theta)
+        v = jnp.where(jnp.isfinite(v), v, -jnp.inf)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        return v, g
+
+    def init_chain(theta):
+        v, g = logp_grad(theta)
+        return HMCState(theta, v, g)
+
+    def warmup_scan(carry, rng_i):
+        state, da, mean, m2, cnt, inv_mass = carry
+        step = jnp.exp(da.log_step)
+        state, ap = hmc_transition(
+            logp_grad, rng_i, state, step, inv_mass, n_leapfrog
+        )
+        da = _dual_avg_update(da, ap, target=target_accept)
+        # Welford accumulation for the diagonal mass matrix
+        cnt = cnt + 1.0
+        delta = state.theta - mean
+        mean = mean + delta / cnt
+        m2 = m2 + delta * (state.theta - mean)
+        return (state, da, mean, m2, cnt, inv_mass), ap
+
+    def sample_scan(carry, rng_i):
+        state, step, inv_mass = carry
+        state, ap = hmc_transition(
+            logp_grad, rng_i, state, step, inv_mass, n_leapfrog
+        )
+        return (state, step, inv_mass), (state.theta, ap)
+
+    def one_chain(theta_init, key):
+        state = init_chain(theta_init)
+        da = _dual_avg_init(jnp.asarray(init_step, theta_init.dtype))
+        inv_mass = jnp.ones_like(theta_init)
+
+        # Phase 1: step-size + mass warmup (single window for simplicity;
+        # the mass estimate uses the second half statistics implicitly
+        # through Welford over the whole window).
+        keys = jax.random.split(key, n_warmup + n_samples + 1)
+        carry = (state, da, jnp.zeros_like(theta_init),
+                 jnp.zeros_like(theta_init), jnp.asarray(0.0, theta_init.dtype),
+                 inv_mass)
+        (state, da, mean, m2, cnt, _), _ = jax.lax.scan(
+            warmup_scan, carry, keys[:n_warmup]
+        )
+        var = m2 / jnp.maximum(cnt - 1.0, 1.0)
+        inv_mass = jnp.where(var > 0, var, 1.0)  # inv mass = posterior var
+        step = jnp.exp(da.log_step_avg)
+
+        # Phase 2: sampling
+        (state, step, inv_mass), (thetas, aps) = jax.lax.scan(
+            sample_scan, (state, step, inv_mass), keys[n_warmup:-1]
+        )
+        return thetas, jnp.mean(aps), step, inv_mass
+
+    chain_keys = jax.random.split(rng, n_chains)
+    fn = jax.vmap(one_chain)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(chain_axis))
+        theta0 = jax.device_put(theta0, sharding)
+        chain_keys = jax.device_put(chain_keys, sharding)
+        fn = jax.jit(fn, in_shardings=(sharding, sharding))
+    else:
+        fn = jax.jit(fn)
+
+    thetas, acc, step, inv_mass = fn(theta0, chain_keys)
+    samples = np.asarray(thetas)  # [chains, n_samples, D]
+    rhat, ess = diagnostics(samples)
+    return HMCResult(
+        samples=samples,
+        accept_rate=np.asarray(acc),
+        step_size=np.asarray(step),
+        inv_mass=np.asarray(inv_mass),
+        rhat=rhat,
+        ess=ess,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Diagnostics (split R-hat + bulk ESS, host-side numpy)
+# ---------------------------------------------------------------------------
+
+def diagnostics(samples: np.ndarray):
+    """Split R-hat and a crude bulk ESS per dimension.
+
+    samples: [chains, n, D]. Standard split-chain potential scale reduction
+    (Gelman et al.); ESS from pairwise autocorrelation sums (Geyer initial
+    positive sequence, truncated).
+    """
+    c, n, d = samples.shape
+    half = n // 2
+    x = samples[:, : 2 * half, :].reshape(c * 2, half, d)
+    m = x.mean(axis=1)  # [2c, D]
+    v = x.var(axis=1, ddof=1)  # [2c, D]
+    W = v.mean(axis=0)
+    B = half * m.var(axis=0, ddof=1)
+    var_est = (half - 1) / half * W + B / half
+    rhat = np.sqrt(var_est / np.where(W > 0, W, 1.0))
+
+    # ESS via FFT autocorrelation averaged over chains
+    xc = x - x.mean(axis=1, keepdims=True)
+    nfft = 1 << (2 * half - 1).bit_length()
+    f = np.fft.rfft(xc, nfft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), nfft, axis=1)[:, :half, :]
+    acov = acov / np.arange(half, 0, -1)[None, :, None]
+    rho = (acov / np.where(acov[:, :1, :] > 0, acov[:, :1, :], 1.0)).mean(axis=0)
+    tau = np.ones(d)
+    for k in range(d):
+        s = 1.0
+        for t in range(1, half - 1, 2):
+            pair = rho[t, k] + rho[t + 1, k]
+            if pair < 0:
+                break
+            s += 2 * pair
+        tau[k] = s
+    ess = (c * half) / tau
+    return rhat, ess

@@ -88,12 +88,37 @@ class _RawElement:
     etype: str
 
 
-def read_bdf(path: str, *, strict: bool = False) -> FEModel:
+def read_bdf(path: str, *, strict: bool = False,
+             use_native: bool = True) -> FEModel:
     """Read a Nastran .bdf mesh into an FEModel.
 
     ``strict=True`` restricts element import to the reference's whitelist
-    (CHEXA only, Database.cs:44-48).
+    (CHEXA only, Database.cs:44-48). The native C++ parser
+    (native/stanfem.cpp) is used when available; on parse errors the read
+    falls back to the Python parser so the offending card text is collected
+    into ``import_errors`` (the reference keeps the raw lines,
+    Database.cs:72-94).
     """
+    if use_native:
+        from stan_tpu import native
+
+        parsed = native.bdf_parse(path, strict=strict)
+        if parsed is not None and parsed[5] == 0:
+            node_ids, coords, elem_ids, elem_pids, conn, _ = parsed
+            npe = conn.shape[1] if conn.size else 8
+            etype = "HEX8_G2" if npe == 8 else "TET4_G2"
+            model = FEModel(
+                node_ids=node_ids,
+                coords=coords,
+                elem_ids=elem_ids,
+                conn=conn,
+                elem_pid=elem_pids,
+                elem_type=[etype] * len(elem_ids),
+                elem_mat=np.zeros(len(elem_ids), dtype=np.int64),
+            )
+            for pid in sorted(set(int(p) for p in elem_pids)):
+                model.part_info[pid] = PartInfo(name=f"Part_{pid}")
+            return model
     with open(path, "r", errors="replace") as f:
         data = f.read().splitlines()
     return _parse_lines(data, strict=strict)

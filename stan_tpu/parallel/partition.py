@@ -29,6 +29,12 @@ def bfs_node_order(conn: np.ndarray, nnode: int) -> np.ndarray:
     `order[new_index] = old_index` covering all nodes (isolated nodes are
     appended at the end).
     """
+    from stan_tpu import native
+
+    nat = native.bfs_order(conn, nnode)
+    if nat is not None:
+        return nat
+
     nelem, nn = conn.shape
     # node -> element incidence counts (for the peripheral seed)
     counts = np.bincount(conn.ravel(), minlength=nnode)
