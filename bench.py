@@ -35,16 +35,17 @@ def main() -> int:
     import jax.numpy as jnp
 
     from stan_tpu.core import meshgen
-    from stan_tpu.fem.operator import build_operator
+    from stan_tpu.fem import structured
 
     model = meshgen.hex_beam(n, n, n)
-    op = build_operator(
-        model.coords, model.conn, model.elem_d_matrices(),
-        model.fix_mask(), model.formulation(),
-    )
-    f = jnp.asarray(model.load_vector(), dtype=op.dtype)
+    # Structured-grid fast path (slice gather + MXU matmul): the TPU-native
+    # operator for this mesh family; exact-equivalent to the general
+    # gather/scatter operator (tests/test_structured.py).
+    op = structured.build_structured_operator(model)
+    assert op is not None
+    f = op.to_grid(jnp.asarray(model.load_vector(), dtype=op.dtype))
     rhs = op.free_mask * f
-    ndof = 3 * op.nnode
+    ndof = 3 * model.nnode
 
     niters = 100
 

@@ -55,6 +55,19 @@ def _solve_cg(op: StiffnessOperator, f: jax.Array, tol: float, maxiter: int):
     return res
 
 
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def _solve_cg_structured(sop, f: jax.Array, tol: float, maxiter: int):
+    """CG on the structured fast-path operator (grid layout throughout)."""
+    u_grid = sop.to_grid(f)
+    rhs = sop.free_mask * u_grid
+    ndof = 3 * rhs.shape[0] * rhs.shape[1] * rhs.shape[2]
+    res = cg_mod.pcg(
+        sop.apply, rhs, diag=sop.diagonal(), tol=tol, maxiter=maxiter,
+        ndof=ndof,
+    )
+    return res._replace(u=sop.to_flat(res.u))
+
+
 @jax.jit
 def _recover(op: StiffnessOperator, u: jax.Array):
     u_e = op.gather(u)
@@ -70,6 +83,7 @@ def solve_linear_statics(
     dtype=None,
     timer: Optional[PhaseTimer] = None,
     store: bool = True,
+    use_structured: bool = True,
 ) -> LinearResult:
     """Run one linear static solve and (optionally) store results in `model`.
 
@@ -94,12 +108,30 @@ def solve_linear_statics(
 
     solver = settings.lin_solver
     if solver == "CG":
-        with timer.phase("Linear solve (CG)"):
-            res = _solve_cg(
-                op, f,
-                tol=float(settings.lin_solver_tolerance),
-                maxiter=int(settings.lin_solver_maxiter),
-            )
+        # Structured-grid fast path: slice gather + MXU block matmul
+        # (fem/structured.py) when the mesh qualifies; same masked system,
+        # so the result is identical to the general operator's.
+        from stan_tpu.fem import structured as structured_mod
+
+        sop = (
+            structured_mod.build_structured_operator(model, dtype=dtype)
+            if use_structured else None
+        )
+        label = "Linear solve (CG, structured)" if sop is not None else \
+            "Linear solve (CG)"
+        with timer.phase(label):
+            if sop is not None:
+                res = _solve_cg_structured(
+                    sop, f,
+                    tol=float(settings.lin_solver_tolerance),
+                    maxiter=int(settings.lin_solver_maxiter),
+                )
+            else:
+                res = _solve_cg(
+                    op, f,
+                    tol=float(settings.lin_solver_tolerance),
+                    maxiter=int(settings.lin_solver_maxiter),
+                )
             u = res.u
             iters = int(res.iters)
             residual = float(res.residual)
