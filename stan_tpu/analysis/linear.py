@@ -60,7 +60,7 @@ def _solve_cg_structured(sop, f: jax.Array, tol: float, maxiter: int):
     """CG on the structured fast-path operator (grid layout throughout)."""
     u_grid = sop.to_grid(f)
     rhs = sop.free_mask * u_grid
-    ndof = 3 * rhs.shape[0] * rhs.shape[1] * rhs.shape[2]
+    ndof = int(np.prod(rhs.shape))
     res = cg_mod.pcg(
         sop.apply, rhs, diag=sop.diagonal(), tol=tol, maxiter=maxiter,
         ndof=ndof,

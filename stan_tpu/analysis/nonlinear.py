@@ -131,9 +131,18 @@ def solve_nonlinear_statics(
     newton_tol: float = 1.0e-3,
     newton_maxiter: int = 20,
     store: bool = True,
+    checkpoint_path: Optional[str] = None,
 ) -> NonlinearResult:
     """Incremental TL Newton solve; stores per-increment results like the
-    reference (displacement histories + per-increment strain/stress)."""
+    reference (displacement histories + per-increment strain/stress).
+
+    With ``checkpoint_path``, the full per-increment history is snapshotted
+    after each converged increment and a restarted call resumes at the
+    first incomplete increment (no mid-solve resume exists in the
+    reference — SURVEY.md §5.4).
+    """
+    from stan_tpu.utils import checkpoint as ckpt
+
     if dtype is None:
         dtype = default_dtype()
     timer = timer or PhaseTimer(verbose=False)
@@ -162,7 +171,19 @@ def solve_nonlinear_statics(
     stresses.append(zero66)
 
     ok = True
-    for inc in range(1, ninc + 1):
+    start_inc = 1
+    state_ck = ckpt.load_or_none(checkpoint_path)
+    if state_ck is not None and int(state_ck.get("ninc", -1)) == ninc:
+        start_inc = int(state_ck["next_inc"])
+        u = jnp.asarray(state_ck["u"], dtype=dtype)
+        disp = [np.asarray(a) for a in state_ck["disp"]]
+        strains = [np.asarray(a) for a in state_ck["strains"]]
+        stresses = [np.asarray(a) for a in state_ck["stresses"]]
+        iters_list = [int(v) for v in state_ck["iters"]]
+        res_list = [float(v) for v in state_ck["res"]]
+        ok = all(r <= newton_tol for r in res_list)
+
+    for inc in range(start_inc, ninc + 1):
         # Load ramp inc/ninc (reference intent, Solver.cs:324-327).
         f_ext = f_full * (inc / ninc)
         with timer.phase(f"Increment {inc}"):
@@ -182,6 +203,12 @@ def solve_nonlinear_statics(
         disp.append(np.asarray(u))
         strains.append(np.asarray(eps))
         stresses.append(np.asarray(sig))
+        if checkpoint_path:
+            ckpt.save(checkpoint_path, {
+                "ninc": ninc, "next_inc": inc + 1, "u": np.asarray(u),
+                "disp": disp, "strains": strains, "stresses": stresses,
+                "iters": iters_list, "res": res_list,
+            })
 
     disp_arr = np.stack(disp, axis=0)
     strain_arr = np.stack(strains, axis=0)

@@ -121,13 +121,22 @@ def run_hmc(
     target_accept: float = 0.8,
     mesh=None,
     chain_axis: str = "chains",
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> HMCResult:
     """Run vmapped HMC chains with warmup; optionally shard over a mesh.
 
     With `mesh` given, the chain axis of state/samples is placed on
     `chain_axis` via NamedSharding, so XLA executes chains SPMD across
     devices (multi-host ready via jax.distributed initialization).
+
+    With `checkpoint_path` given, chain state (positions, tuned step sizes,
+    mass matrices, draws so far) is snapshotted every `checkpoint_every`
+    samples (default: 10 chunks) and the run resumes from the snapshot if
+    one exists (SURVEY.md §5.4: sampler-state checkpointing).
     """
+    from stan_tpu.utils import checkpoint as ckpt
+
     theta0 = jnp.asarray(theta0)
     n_chains, dim = theta0.shape
 
@@ -138,10 +147,6 @@ def run_hmc(
         v = jnp.where(jnp.isfinite(v), v, -jnp.inf)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         return v, g
-
-    def init_chain(theta):
-        v, g = logp_grad(theta)
-        return HMCState(theta, v, g)
 
     def warmup_scan(carry, rng_i):
         state, da, mean, m2, cnt, inv_mass = carry
@@ -164,49 +169,96 @@ def run_hmc(
         )
         return (state, step, inv_mass), (state.theta, ap)
 
-    def one_chain(theta_init, key):
-        state = init_chain(theta_init)
+    def one_chain_warmup(theta_init, key):
+        v, g = logp_grad(theta_init)
+        state = HMCState(theta_init, v, g)
         da = _dual_avg_init(jnp.asarray(init_step, theta_init.dtype))
         inv_mass = jnp.ones_like(theta_init)
-
-        # Phase 1: step-size + mass warmup (single window for simplicity;
-        # the mass estimate uses the second half statistics implicitly
-        # through Welford over the whole window).
-        keys = jax.random.split(key, n_warmup + n_samples + 1)
+        keys = jax.random.split(key, n_warmup)
         carry = (state, da, jnp.zeros_like(theta_init),
-                 jnp.zeros_like(theta_init), jnp.asarray(0.0, theta_init.dtype),
-                 inv_mass)
+                 jnp.zeros_like(theta_init),
+                 jnp.asarray(0.0, theta_init.dtype), inv_mass)
         (state, da, mean, m2, cnt, _), _ = jax.lax.scan(
-            warmup_scan, carry, keys[:n_warmup]
+            warmup_scan, carry, keys
         )
         var = m2 / jnp.maximum(cnt - 1.0, 1.0)
         inv_mass = jnp.where(var > 0, var, 1.0)  # inv mass = posterior var
         step = jnp.exp(da.log_step_avg)
+        return state.theta, step, inv_mass
 
-        # Phase 2: sampling
-        (state, step, inv_mass), (thetas, aps) = jax.lax.scan(
-            sample_scan, (state, step, inv_mass), keys[n_warmup:-1]
+    def one_chain_chunk(theta, step, inv_mass, keys):
+        v, g = logp_grad(theta)
+        state = HMCState(theta, v, g)
+        (state, _, _), (thetas, aps) = jax.lax.scan(
+            sample_scan, (state, step, inv_mass), keys
         )
-        return thetas, jnp.mean(aps), step, inv_mass
+        return state.theta, thetas, jnp.sum(aps)
 
-    chain_keys = jax.random.split(rng, n_chains)
-    fn = jax.vmap(one_chain)
+    sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sharding = NamedSharding(mesh, P(chain_axis))
         theta0 = jax.device_put(theta0, sharding)
-        chain_keys = jax.device_put(chain_keys, sharding)
-        fn = jax.jit(fn, in_shardings=(sharding, sharding))
-    else:
-        fn = jax.jit(fn)
 
-    thetas, acc, step, inv_mass = fn(theta0, chain_keys)
-    samples = np.asarray(thetas)  # [chains, n_samples, D]
+    warm_fn = jax.jit(jax.vmap(one_chain_warmup))
+    chunk_fn = jax.jit(jax.vmap(one_chain_chunk))
+
+    chain_keys = jax.random.split(rng, n_chains)
+    if sharding is not None:
+        chain_keys = jax.device_put(chain_keys, sharding)
+
+    chunk = checkpoint_every or (max(1, n_samples // 10)
+                                 if checkpoint_path else n_samples)
+    state_ck = ckpt.load_or_none(checkpoint_path)
+
+    if state_ck is not None and state_ck.get("n_warmup") == n_warmup:
+        theta = jnp.asarray(state_ck["theta"])
+        step = jnp.asarray(state_ck["step"])
+        inv_mass = jnp.asarray(state_ck["inv_mass"])
+        draws = [np.asarray(state_ck["samples"])]
+        done = int(state_ck["n_done"])
+        acc_sum = np.asarray(state_ck["acc_sum"])
+    else:
+        theta, step, inv_mass = warm_fn(theta0, chain_keys)
+        draws, done = [], 0
+        acc_sum = np.zeros(n_chains)
+        if checkpoint_path:
+            ckpt.save(checkpoint_path, {
+                "n_warmup": n_warmup, "n_done": 0,
+                "theta": np.asarray(theta), "step": np.asarray(step),
+                "inv_mass": np.asarray(inv_mass),
+                "samples": np.zeros((n_chains, 0, dim)),
+                "acc_sum": acc_sum,
+            })
+
+    sample_key = jax.random.fold_in(rng, 1)
+    while done < n_samples:
+        take = min(chunk, n_samples - done)
+        keys = jax.vmap(
+            lambda k: jax.random.split(k, take)
+        )(jax.vmap(lambda k: jax.random.fold_in(k, done))(
+            jax.random.split(sample_key, n_chains)))
+        if sharding is not None:
+            keys = jax.device_put(keys, sharding)
+        theta, thetas, aps = chunk_fn(theta, step, inv_mass, keys)
+        draws.append(np.asarray(thetas))
+        acc_sum = acc_sum + np.asarray(aps)
+        done += take
+        if checkpoint_path:
+            ckpt.save(checkpoint_path, {
+                "n_warmup": n_warmup, "n_done": done,
+                "theta": np.asarray(theta), "step": np.asarray(step),
+                "inv_mass": np.asarray(inv_mass),
+                "samples": np.concatenate(draws, axis=1),
+                "acc_sum": acc_sum,
+            })
+
+    samples = np.concatenate(draws, axis=1)  # [chains, n_samples, D]
     rhat, ess = diagnostics(samples)
     return HMCResult(
         samples=samples,
-        accept_rate=np.asarray(acc),
+        accept_rate=acc_sum / max(n_samples, 1),
         step_size=np.asarray(step),
         inv_mass=np.asarray(inv_mass),
         rhat=rhat,

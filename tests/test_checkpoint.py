@@ -1,0 +1,100 @@
+"""Checkpoint / resume tests: pytree snapshots, solver + sampler resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stan_tpu.core import meshgen
+from stan_tpu.utils import checkpoint as ckpt
+
+
+def test_pytree_roundtrip(tmp_path):
+    tree = {
+        "a": np.arange(6).reshape(2, 3),
+        "b": [np.ones(3), {"c": 2.5, "d": "hello", "e": None}],
+        "f": (np.float64(1.5), True, 7),
+    }
+    path = str(tmp_path / "state.npz")
+    ckpt.save(path, tree)
+    got = ckpt.load(path)
+    np.testing.assert_array_equal(got["a"], tree["a"])
+    np.testing.assert_array_equal(got["b"][0], tree["b"][0])
+    assert got["b"][1]["c"] == 2.5
+    assert got["b"][1]["d"] == "hello"
+    assert got["b"][1]["e"] is None
+    assert got["f"][1] is True and got["f"][2] == 7
+
+
+def test_load_or_none_missing(tmp_path):
+    assert ckpt.load_or_none(str(tmp_path / "nope.npz")) is None
+    assert ckpt.load_or_none(None) is None
+
+
+def test_nonlinear_resume_matches_uninterrupted(tmp_path):
+    from stan_tpu.analysis.nonlinear import solve_nonlinear_statics
+
+    def make():
+        m = meshgen.hex_beam(2, 2, 2, load=(0.0, 0.0, -50.0))
+        m.analysis.type = "Nonlinear_Statics"
+        m.analysis.inc_numb = 3
+        return m
+
+    ref = solve_nonlinear_statics(make(), store=False)
+
+    # Simulate an interrupted run: first run only increments 1-2 by faking
+    # a checkpoint from a truncated pass, then resume to completion.
+    path = str(tmp_path / "nl.npz")
+    m1 = make()
+    m1.analysis.inc_numb = 3
+    # run increments with checkpointing, then delete the last increment
+    solve_nonlinear_statics(m1, store=False, checkpoint_path=path)
+    state = ckpt.load(path)
+    assert int(state["next_inc"]) == 4
+    # truncate to "only 2 increments were done"
+    state["next_inc"] = 3
+    state["u"] = state["disp"][2]
+    for key in ("disp", "strains", "stresses"):
+        state[key] = state[key][:3]
+    state["iters"] = state["iters"][:2]
+    state["res"] = state["res"][:2]
+    ckpt.save(path, state)
+
+    res = solve_nonlinear_statics(make(), store=False, checkpoint_path=path)
+    assert res.converged
+    np.testing.assert_allclose(res.u, ref.u, rtol=1e-10, atol=1e-12)
+    assert res.disp.shape == ref.disp.shape
+
+
+def test_hmc_checkpoint_resume(tmp_path):
+    from stan_tpu.infer import hmc
+
+    cov_inv = jnp.linalg.inv(jnp.array([[1.0, 0.5], [0.5, 1.5]]))
+    mean = jnp.array([0.5, -1.0])
+
+    def logp(th):
+        d = th - mean
+        return -0.5 * d @ cov_inv @ d
+
+    path = str(tmp_path / "hmc.npz")
+    kwargs = dict(n_samples=200, n_warmup=150, n_leapfrog=8,
+                  checkpoint_path=path, checkpoint_every=50)
+    theta0 = jnp.zeros((2, 2))
+    key = jax.random.PRNGKey(0)
+
+    full = hmc.run_hmc(logp, theta0, key, **kwargs)
+    assert full.samples.shape == (2, 200, 2)
+
+    # Truncate the checkpoint to half-way and resume: identical draws.
+    state = ckpt.load(path)
+    state["n_done"] = 100
+    state["samples"] = state["samples"][:, :100, :]
+    # theta must be the chain state after 100 draws = 100th sample
+    state["theta"] = state["samples"][:, 99, :]
+    ckpt.save(path, state)
+    resumed = hmc.run_hmc(logp, theta0, key, **kwargs)
+    np.testing.assert_allclose(
+        resumed.samples[:, 100:, :], full.samples[:, 100:, :], atol=1e-12
+    )
+    np.testing.assert_allclose(resumed.samples, full.samples, atol=1e-12)

@@ -71,7 +71,7 @@ def test_apply_matches_with_nonuniform_spacing_and_g1():
 def test_diagonal_matches():
     m, op, sop = _pair()
     want = np.asarray(op.diagonal())
-    got = np.asarray(sop.diagonal()).reshape(-1, 3)
+    got = np.asarray(sop.to_flat(sop.diagonal()))
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
 
 
