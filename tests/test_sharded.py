@@ -48,6 +48,46 @@ def test_sharded_solve_matches_single_device(ndev):
     np.testing.assert_allclose(u, ref.u, rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_ring_mode_selected_and_matches(ndev):
+    """BFS-blocked partitions of beam meshes are ring-compatible; the ring
+    halo exchange must give the same solution as the all_gather mode."""
+    model = meshgen.hex_beam(8, 2, 2)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), axis_names=("domain",))
+    op_ring, part = sharded.build_sharded_operator(
+        model.coords, model.conn, model.elem_d_matrices(), model.fix_mask(),
+        model.formulation(), ndev, prefer_ring=True,
+    )
+    assert op_ring.ring, "expected ring-compatible partition"
+    op_ag, _ = sharded.build_sharded_operator(
+        model.coords, model.conn, model.elem_d_matrices(), model.fix_mask(),
+        model.formulation(), ndev, prefer_ring=False,
+    )
+    assert not op_ag.ring
+    f = jnp.asarray(sharded.shard_rhs(part, model.load_vector()))
+    u_ring = np.asarray(sharded.sharded_pcg(mesh, op_ring, f, tol=1e-12).u)
+    u_ag = np.asarray(sharded.sharded_pcg(mesh, op_ag, f, tol=1e-12).u)
+    np.testing.assert_allclose(u_ring, u_ag, rtol=1e-9, atol=1e-13)
+
+
+def test_ring_rejected_when_not_compatible():
+    """With more devices than the BFS frontier supports, ring must be
+    rejected and the all_gather fallback used (still correct)."""
+    model = meshgen.hex_beam(2, 2, 2)  # tiny: blocks too small for ring
+    ndev = 8
+    op, part = sharded.build_sharded_operator(
+        model.coords, model.conn, model.elem_d_matrices(), model.fix_mask(),
+        model.formulation(), ndev, prefer_ring=True,
+    )
+    # Either ring-compatible (fine) or fallback; solve must match regardless
+    mesh = Mesh(np.array(jax.devices()[:ndev]), axis_names=("domain",))
+    ref = solve_linear_statics(meshgen.hex_beam(2, 2, 2), store=False)
+    f = jnp.asarray(sharded.shard_rhs(part, model.load_vector()))
+    res = sharded.sharded_pcg(mesh, op, f, tol=1e-12)
+    u = sharded.unshard_u(part, np.asarray(res.u))
+    np.testing.assert_allclose(u, ref.u, rtol=1e-8, atol=1e-12)
+
+
 def test_sharded_solve_deterministic():
     ndev = 4
     model = meshgen.hex_beam(4, 2, 2)
