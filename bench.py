@@ -35,13 +35,14 @@ def main() -> int:
     import jax.numpy as jnp
 
     from stan_tpu.core import meshgen
-    from stan_tpu.fem import structured
+    from stan_tpu.fem import stencil
 
     model = meshgen.hex_beam(n, n, n)
-    # Structured-grid fast path (slice gather + MXU matmul): the TPU-native
-    # operator for this mesh family; exact-equivalent to the general
-    # gather/scatter operator (tests/test_structured.py).
-    op = structured.build_structured_operator(model)
+    # Assembled-stencil fast path (Pallas 27-point sweep with exact tiered
+    # boundary tables): the TPU-native operator for this mesh family;
+    # exact-equivalent to the structured and general operators
+    # (tests/test_stencil.py, tests/test_structured.py).
+    op = stencil.build_stencil_operator(model)
     assert op is not None
     f = op.to_grid(jnp.asarray(model.load_vector(), dtype=op.dtype))
     rhs = op.free_mask * f

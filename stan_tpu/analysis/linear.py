@@ -108,15 +108,19 @@ def solve_linear_statics(
 
     solver = settings.lin_solver
     if solver == "CG":
-        # Structured-grid fast path: slice gather + MXU block matmul
-        # (fem/structured.py) when the mesh qualifies; same masked system,
-        # so the result is identical to the general operator's.
+        # Structured-grid fast paths, fastest first: assembled Pallas
+        # stencil (fem/stencil.py, uniform material) -> slice gather + MXU
+        # block matmul (fem/structured.py) -> general operator. All act on
+        # the same masked system, so results are identical.
+        from stan_tpu.fem import stencil as stencil_mod
         from stan_tpu.fem import structured as structured_mod
 
-        sop = (
-            structured_mod.build_structured_operator(model, dtype=dtype)
-            if use_structured else None
-        )
+        sop = None
+        if use_structured:
+            sop = stencil_mod.build_stencil_operator(model, dtype=dtype)
+            if sop is None:
+                sop = structured_mod.build_structured_operator(
+                    model, dtype=dtype)
         label = "Linear solve (CG, structured)" if sop is not None else \
             "Linear solve (CG)"
         with timer.phase(label):

@@ -1,0 +1,287 @@
+"""Assembled 27-point stencil operator: the fastest K·u on this hardware.
+
+Third (and fastest) implementation of the structured-grid stiffness action,
+stacked on top of fem/structured.py. For a uniform-material structured hex
+grid the *assembled* operator K is translation-invariant in the grid
+interior: row n couples node n to its 26 lattice neighbours through constant
+3x3 blocks
+
+    f[c, n] = sum_{o in {-1,0,1}^3} A[o][c, d] * u[d, n + o]
+
+with A[o] = sum over corner pairs (a, b) of the element stiffness blocks
+ke[3a:3a+3, 3b:3b+3] whose corner offset cb - ca equals o (the assembly the
+reference performs element-by-element into a hash sparsematrix,
+src/STAN_Solver/SolverFunctions.cs:117-180, collapsed analytically).
+
+Why a third path: measured on the bench chip, the element-formulation matmul
+([48,24]x[24,nelem]) runs at <1 TF/s because a 24-deep contraction fills
+<19% of the MXU's 128-wide systolic dimension, and it moves ~270 MB/apply of
+element-expanded intermediates. The stencil form does the *assembled*
+minimum work -- 153 nonzero coefficient FMAs per interior node -- and the
+Pallas kernel streams u through VMEM exactly once (~12 MB/apply).
+
+Boundary exactness (in-kernel, tiered): a boundary node's row misses the
+"phantom" elements outside the grid, so the interior table is wrong on the
+6 grid faces. Every node is classified per axis as L(ow edge)/interior
+F(ree)/H(igh edge); for each of the 27 signatures the exact assembled table
+is derived mechanically by restricting the corner-pair sum to elements that
+exist (allowed corner offsets: F -> {0,1}, L -> {0}, H -> {1}). The kernel
+applies the interior table to the whole block, then overwrites face rows
+(one constrained axis), then edge lines (two), then corner nodes (three) --
+each tier's table is exact on its own region interior, and the next tier
+overwrites exactly where the assumption breaks, so the result is the exact
+assembled action everywhere. All tiers run on VMEM-resident slices of the
+same halo window; the boundary regions are lower-dimensional, so their cost
+is a few percent of the interior sweep.
+
+Applicability: single isotropic material + meshgen-ordered structured HEX8
+grid (build returns None otherwise; callers fall back to StructuredOperator
+and then to the general gather/scatter operator). This is the operator the
+1M-DOF BASELINE.json config benches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stan_tpu.core.model import FEModel
+from stan_tpu.fem import structured
+from stan_tpu.fem.structured import StructuredOperator
+
+_OFFSETS = tuple(itertools.product((-1, 0, 1), repeat=3))
+# Allowed corner-index values of the *anchor* corner a per axis signature:
+# the element that contributes through pair (a, b) sits at n - ca, so
+# ca=0 requires an element on the high side, ca=1 on the low side.
+_ALLOWED = {"F": (0, 1), "L": (0,), "H": (1,)}
+_SIGS = tuple(itertools.product("FLH", repeat=3))
+
+
+def signature_tables(ke: np.ndarray) -> dict:
+    """Exact assembled stencil tables for all 27 L/F/H boundary signatures.
+
+    Returns {sig: {offset: 3x3 ndarray}} with exact zeros dropped. sig
+    ('F','F','F') is the interior 27-point table.
+    """
+    ke = np.asarray(ke, np.float64)
+    corners = structured._CORNERS
+    tiny = 1e-12 * np.abs(ke).max()
+    tables = {}
+    for sig in _SIGS:
+        T = {}
+        for a in range(8):
+            ca = corners[a]
+            if any(int(ca[k]) not in _ALLOWED[sig[k]] for k in range(3)):
+                continue
+            for b in range(8):
+                off = tuple(int(v) for v in corners[b] - ca)
+                blk = ke[3 * a:3 * a + 3, 3 * b:3 * b + 3]
+                T[off] = T.get(off, 0.0) + blk
+        clean = {}
+        for off, m in T.items():
+            m = np.where(np.abs(m) < tiny, 0.0, m)
+            if np.any(m != 0.0):
+                clean[off] = m
+        tables[sig] = clean
+    return tables
+
+
+def _make_kernel(tables: dict, BX: int, NNX: int, NNY: int, NNZ: int,
+                 nblocks: int):
+    """Generate the Pallas kernel: interior sweep + tiered boundary rows.
+
+    u_ref is the zero-ghost-padded halo window [3, BX+2, NNY+2, NNZ+2] of the
+    program's BX output planes; f_ref is [3, BX, NNY, NNZ].
+    """
+    from jax.experimental import pallas as pl
+
+    last_lx = NNX - 1 - (nblocks - 1) * BX  # local x of the global last plane
+
+    def kernel(u_ref, f_ref):
+        pid = pl.program_id(0)
+
+        # Hoist the 9 (y,z)-shifted halo windows per component; all later
+        # accesses slice only the x (major) dim, which is relayout-free.
+        shifted = {}
+        for d in range(3):
+            for oy in (-1, 0, 1):
+                for oz in (-1, 0, 1):
+                    shifted[(d, oy, oz)] = u_ref[
+                        d, :, 1 + oy:1 + oy + NNY, 1 + oz:1 + oz + NNZ]
+
+        def region(sig):
+            """(x window base, x size, y slice, z slice) of a tier region.
+
+            x is local to the block (None base means the full block);
+            y/z are global node-grid slices.
+            """
+            sx, sy, sz = sig
+            xb, xs = (None, BX)
+            if sx == "L":
+                xb, xs = 0, 1
+            elif sx == "H":
+                xb, xs = last_lx, 1
+            ysl = {"F": slice(0, NNY), "L": slice(0, 1),
+                   "H": slice(NNY - 1, NNY)}[sy]
+            zsl = {"F": slice(0, NNZ), "L": slice(0, 1),
+                   "H": slice(NNZ - 1, NNZ)}[sz]
+            return xb, xs, ysl, zsl
+
+        def apply_sig(sig):
+            xb, xs, ysl, zsl = region(sig)
+            x0 = 0 if xb is None else xb
+            for c in range(3):
+                acc = None
+                for d in range(3):
+                    for (ox, oy, oz), m in tables[sig].items():
+                        a = float(m[c, d])
+                        if a == 0.0:
+                            continue
+                        win = shifted[(d, oy, oz)]
+                        sub = win[1 + ox + x0:1 + ox + x0 + xs, ysl, zsl]
+                        term = a * sub
+                        acc = term if acc is None else acc + term
+                f_ref[c, x0:x0 + xs, ysl, zsl] = acc
+
+        # Tier 0: interior table over the whole block.
+        apply_sig(("F", "F", "F"))
+
+        # Tiers 1-3: faces, then edges, then corners (later tiers overwrite
+        # the rows where the previous tier's per-axis F assumption breaks).
+        for ncon in (1, 2, 3):
+            for sig in _SIGS:
+                if sum(s != "F" for s in sig) != ncon:
+                    continue
+                sx = sig[0]
+                if sx == "L":
+                    @pl.when(pid == 0)
+                    def _(sig=sig):
+                        apply_sig(sig)
+                elif sx == "H":
+                    @pl.when(pid == nblocks - 1)
+                    def _(sig=sig):
+                        apply_sig(sig)
+                else:
+                    apply_sig(sig)
+
+    return kernel
+
+
+def _stencil_apply(tables: dict, u: jax.Array, BX: int = 8) -> jax.Array:
+    """Exact assembled K·u on the node grid via one Pallas sweep."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, NNX, NNY, NNZ = u.shape
+    BX = min(BX, NNX)
+    nblocks = pl.cdiv(NNX, BX)
+    up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    kernel = _make_kernel(tables, BX, NNX, NNY, NNZ, nblocks)
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(
+            (pl.Element(3), pl.Element(BX + 2, (0, nblocks * BX - NNX)),
+             pl.Element(NNY + 2), pl.Element(NNZ + 2)),
+            lambda i: (0, i * BX, 0, 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((3, BX, NNY, NNZ), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(up)
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilOperator:
+    """Masked stiffness operator backed by the Pallas stencil sweep.
+
+    Drop-in replacement for StructuredOperator (same grid layout and API:
+    to_grid/to_flat/apply/apply_raw/diagonal/free_mask).
+    """
+
+    base: StructuredOperator  # for diagonal / masks / grid translation
+    tables: dict              # static: {sig: {offset: 3x3}} exact tables
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    @property
+    def nelems(self):
+        return self.base.nelems
+
+    @property
+    def node_shape(self):
+        return self.base.node_shape
+
+    @property
+    def free_mask(self):
+        return self.base.free_mask
+
+    def to_grid(self, u_flat):
+        return self.base.to_grid(u_flat)
+
+    def to_flat(self, u_grid):
+        return self.base.to_flat(u_grid)
+
+    def diagonal(self):
+        return self.base.diagonal()
+
+    def apply_raw(self, u: jax.Array) -> jax.Array:
+        return _stencil_apply(self.tables, u)
+
+    def apply(self, u: jax.Array) -> jax.Array:
+        """Masked SPD action: M K (M u) + (I - M) u."""
+        m = self.free_mask
+        return m * self.apply_raw(m * u) + (1.0 - m) * u
+
+
+def build_stencil_operator(model: FEModel, dtype=None
+                           ) -> Optional[StencilOperator]:
+    """Build the stencil fast path, or None if the mesh/material doesn't
+    qualify (needs the structured grid AND a single isotropic material)."""
+    base = structured.build_structured_operator(model, dtype=dtype)
+    if base is None:
+        return None
+    lam = np.asarray(base.lam_e)
+    mu = np.asarray(base.mu_e)
+    if lam.size == 0 or not (
+            np.all(lam == lam.flat[0]) and np.all(mu == mu.flat[0])):
+        return None
+    if min(base.node_shape) < 3:
+        return None  # L/H/F tier regions must not overlap
+    ke = (np.asarray(base.ke_lam, np.float64) * float(lam.flat[0])
+          + np.asarray(base.ke_mu, np.float64) * float(mu.flat[0]))
+    return StencilOperator(base=base, tables=signature_tables(ke))
+
+
+def _freeze_tables(tables: dict):
+    return tuple(
+        (sig, tuple((off, m.tobytes()) for off, m in tables[sig].items()))
+        for sig in _SIGS
+    )
+
+
+def _thaw_tables(frozen) -> dict:
+    return {
+        sig: {off: np.frombuffer(buf, np.float64).reshape(3, 3).copy()
+              for off, buf in entries}
+        for sig, entries in frozen
+    }
+
+
+jax.tree_util.register_pytree_node(
+    StencilOperator,
+    lambda op: ((op.base,), _freeze_tables(op.tables)),
+    lambda aux, leaves: StencilOperator(base=leaves[0],
+                                        tables=_thaw_tables(aux)),
+)
