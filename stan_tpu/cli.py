@@ -12,6 +12,10 @@ Usage:
                                           [--tol 1e-6] [--maxiter N]
                                           [--type Linear_Statics|Nonlinear_Statics]
                                           [--increments N] [--out other.STdb]
+                                          [--config run.toml] [--log-json run.jsonl]
+  python -m stan_tpu.cli calibrate model.STdb [--sampler nuts|hmc|vi|smc]
+                                          [--chains N --warmup N --samples N]
+                                          [--synthetic] [--n-obs K]
   python -m stan_tpu.cli import mesh.bdf model.STdb [--E 210000 --poisson 0.3]
   python -m stan_tpu.cli export model.STdb out_prefix [--ascii]
   python -m stan_tpu.cli info model.STdb
@@ -32,7 +36,10 @@ BANNER = r"""
 
 def _cmd_solve(args) -> int:
     from stan_tpu.core import model as model_mod  # noqa: F401 (import order)
+    from stan_tpu.core import validate
     from stan_tpu.io import stdb
+    from stan_tpu.utils import config as config_mod
+    from stan_tpu.utils import runlog
     from stan_tpu.utils.timing import PhaseTimer
 
     print(BANNER)
@@ -41,8 +48,12 @@ def _cmd_solve(args) -> int:
         model = stdb.read(args.path)
     print(model.summary())
 
-    # CLI overrides of the persisted Analysis settings (the reference GUI
-    # also overrides before launch, MainWindow.xaml.cs:444-446).
+    # Config layering: TOML file (if given) then CLI flags, applied on top
+    # of the persisted Analysis settings (the reference GUI also overrides
+    # before launch, MainWindow.xaml.cs:444-446).
+    if args.config:
+        cfg = config_mod.load(args.config)
+        cfg.apply_to_model(model)
     if args.solver:
         model.analysis.lin_solver = args.solver
     if args.tol is not None:
@@ -54,10 +65,14 @@ def _cmd_solve(args) -> int:
     if args.increments is not None:
         model.analysis.inc_numb = args.increments
 
-    for mat in model.materials.values():
-        if mat.E == -999.0 or mat.poisson == -999.0:
-            print(f"  ERROR: material {mat.id} ({mat.name}) has no E/nu set")
-            return 2
+    # Validate-and-refuse at ingest (SURVEY.md §5.3; the reference only
+    # checks material assignment, MainWindow.xaml.cs:474-487).
+    problems = validate.check_model(model)
+    if problems:
+        print("  ERROR: model validation failed:")
+        for p in problems:
+            print(f"    - {p}")
+        return 2
 
     if model.analysis.type == "Linear_Statics":
         from stan_tpu.analysis.linear import solve_linear_statics
@@ -81,7 +96,164 @@ def _cmd_solve(args) -> int:
     with timer.phase("Write database"):
         stdb.write(model, out)
     print(timer.summary())
+    if args.log_json:
+        runlog.append(args.log_json, runlog.make_record(
+            "solve", model=model, timer=timer,
+            iters=getattr(res, "iters", None),
+            residual=getattr(res, "residual", None),
+            converged=bool(ok), path=args.path, out=out,
+        ))
     return 0 if ok else 1
+
+
+def _cmd_calibrate(args) -> int:
+    """Bayesian calibration of (E, nu) against observed displacements.
+
+    The BASELINE.json inference configs as a CLI: the FEM solve is the
+    forward model, chains run vmapped (sharded over devices when several
+    are visible). Observations come from the STdb's stored displacement
+    results; --synthetic generates them by solving the model and adding
+    noise (a self-check that recovers the true material)."""
+    import numpy as np
+
+    from stan_tpu.core import validate
+    from stan_tpu.infer import calibrate as cal_mod
+    from stan_tpu.io import stdb
+    from stan_tpu.utils import config as config_mod
+    from stan_tpu.utils import runlog
+    from stan_tpu.utils.timing import PhaseTimer
+
+    print(BANNER)
+    timer = PhaseTimer(verbose=True)
+    cfg = config_mod.load(args.config) if args.config else config_mod.load()
+    inf = cfg.inference
+    if args.sampler:
+        inf.sampler = args.sampler
+    if args.chains:
+        inf.chains = args.chains
+    if args.warmup is not None:
+        inf.warmup = args.warmup
+    if args.samples is not None:
+        inf.samples = args.samples
+
+    with timer.phase("Read database"):
+        model = stdb.read(args.path)
+    print(model.summary())
+    problems = validate.check_model(model)
+    if problems:
+        print("  ERROR: model validation failed:")
+        for p in problems:
+            print(f"    - {p}")
+        return 2
+
+    # Observations: tip-region DOFs with the largest response.
+    with timer.phase("Observations"):
+        if model.disp is not None and model.analysis.result_step_no > 0:
+            u_obs_full = model.disp[-1]
+        elif args.synthetic:
+            from stan_tpu.analysis.linear import solve_linear_statics
+
+            res = solve_linear_statics(model, store=False)
+            u_obs_full = np.asarray(res.u)
+        else:
+            print("  ERROR: no results in database "
+                  "(run solve first, or pass --synthetic)")
+            return 2
+        mag = np.abs(u_obs_full).max(axis=1)
+        obs_nodes = np.argsort(mag)[-args.n_obs:]
+        obs_dirs = np.abs(u_obs_full[obs_nodes]).argmax(axis=1)
+        rng = np.random.default_rng(inf.seed)
+        y = u_obs_full[obs_nodes, obs_dirs]
+        sigma = max(inf.sigma_obs, 1e-3 * float(np.abs(y).max()))
+        y = y + rng.normal(0.0, sigma, y.shape)
+
+    with timer.phase("Build posterior"):
+        prob = cal_mod.make_problem(
+            model, obs_nodes, obs_dirs, y, sigma,
+            infer_load=inf.infer_load,
+        )
+
+    import time as _time
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    theta0 = _jnp.tile(
+        _jnp.asarray([[float(np.log(210000.0)), 0.0, 0.0]]), (inf.chains, 1))
+    key = _jax.random.PRNGKey(inf.seed)
+    rhat = ess = None
+    t0 = _time.perf_counter()
+    with timer.phase(f"Sample ({inf.sampler})"):
+        if inf.sampler in ("hmc", "nuts"):
+            from stan_tpu.infer import hmc as hmc_mod
+            from stan_tpu.infer import nuts as nuts_mod
+
+            run = hmc_mod.run_hmc if inf.sampler == "hmc" else nuts_mod.run_nuts
+            out = run(
+                prob.log_posterior, theta0, key,
+                n_warmup=inf.warmup, n_samples=inf.samples,
+            )
+            samples = np.asarray(out.samples)  # [chains, n, 3]
+            accept = float(np.mean(out.accept_rate))
+            rhat, ess = np.max(out.rhat), np.min(out.ess)
+        elif inf.sampler == "vi":
+            from stan_tpu.infer import vi as vi_mod
+
+            out = vi_mod.run_advi(
+                prob.log_posterior, theta0[0], key, n_steps=inf.samples)
+            samples = out.sample(key, inf.chains * 256)[None]
+            accept = float("nan")
+        else:  # smc: prior/likelihood split of the same posterior
+            from stan_tpu.infer import smc as smc_mod
+
+            def log_prior(theta):
+                lp = -0.5 * ((theta[0] - prob.mu_logE) / prob.sigma_logE) ** 2
+                lp += _jax.nn.log_sigmoid(theta[1]) + _jax.nn.log_sigmoid(
+                    -theta[1])
+                return lp - 0.5 * (theta[2] / prob.sigma_logs) ** 2
+
+            def log_like(theta):
+                return prob.log_posterior(theta) - log_prior(theta)
+
+            def sample_prior(k, n):
+                ks = _jax.random.split(k, 3)
+                return _jnp.stack([
+                    prob.mu_logE
+                    + prob.sigma_logE * _jax.random.normal(ks[0], (n,)),
+                    _jax.random.logistic(ks[1], (n,)),
+                    prob.sigma_logs * _jax.random.normal(ks[2], (n,)),
+                ], axis=1)
+
+            out = smc_mod.run_smc(
+                log_prior, log_like, sample_prior, key,
+                n_particles=max(inf.chains * 64, 256),
+            )
+            samples = np.asarray(out.particles)[None]
+            accept = float(np.mean(out.acceptance))
+    wall = _time.perf_counter() - t0
+
+    cons = cal_mod.CalibrationProblem.constrain(np.asarray(samples))
+    flat = cons.reshape(-1, cons.shape[-1])
+    names = ("E", "nu", "load_scale")
+    print("  ==================   POSTERIOR   =========================")
+    for k, name in enumerate(names):
+        q = np.percentile(flat[:, k], [5, 50, 95])
+        print(f"   {name:>10s}: median {q[1]:.6g}   90% CI "
+              f"[{q[0]:.6g}, {q[2]:.6g}]")
+    n_draws = int(np.prod(np.asarray(samples).shape[:-1]))
+    sps = n_draws / wall if wall > 0 else float("nan")
+    print(f"   draws: {n_draws}  wall: {wall:.1f}s  "
+          f"samples/s: {sps:.1f}  accept: {accept:.3f}")
+    if rhat is not None:
+        print(f"   R-hat: {rhat:.4f} (max over params)  min ESS: {ess:.0f}")
+    print(timer.summary())
+    if args.log_json:
+        runlog.append(args.log_json, runlog.make_record(
+            "calibrate", model=model, timer=timer,
+            sampler=inf.sampler, chains=inf.chains, draws=n_draws,
+            samples_per_s=sps, accept=accept, path=args.path,
+        ))
+    return 0
 
 
 def _cmd_import(args) -> int:
@@ -178,7 +350,25 @@ def main(argv=None) -> int:
     p.add_argument("--type", choices=["Linear_Statics", "Nonlinear_Statics"])
     p.add_argument("--increments", type=int)
     p.add_argument("--out", help="write results here instead of overwriting")
+    p.add_argument("--config", help="TOML run config (utils/config.py)")
+    p.add_argument("--log-json", help="append a structured run record here")
     p.set_defaults(fn=_cmd_solve)
+
+    p = sub.add_parser(
+        "calibrate",
+        help="Bayesian calibration of (E, nu) from displacement results")
+    p.add_argument("path")
+    p.add_argument("--sampler", choices=["hmc", "nuts", "vi", "smc"])
+    p.add_argument("--chains", type=int)
+    p.add_argument("--warmup", type=int)
+    p.add_argument("--samples", type=int)
+    p.add_argument("--n-obs", type=int, default=16,
+                   help="number of observed DOFs (largest-response nodes)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate observations by solving + adding noise")
+    p.add_argument("--config", help="TOML run config (utils/config.py)")
+    p.add_argument("--log-json", help="append a structured run record here")
+    p.set_defaults(fn=_cmd_calibrate)
 
     p = sub.add_parser("import", help="convert a Nastran .bdf mesh to STdb")
     p.add_argument("bdf")

@@ -317,7 +317,8 @@ def sharded_pcg(
         mesh=mesh,
         in_specs=(specs, P(axis, None)),
         out_specs=cg_mod.CGResult(
-            u=P(axis, None), iters=P(), residual=P(), converged=P()
+            u=P(axis, None), iters=P(), residual=P(), converged=P(),
+            diverged=P(),
         ),
         check_vma=False,
     )

@@ -36,6 +36,7 @@ class CGResult(NamedTuple):
     iters: jax.Array  # i32 scalar
     residual: jax.Array  # final ||r||
     converged: jax.Array  # bool
+    diverged: jax.Array = False  # NaN/blow-up guard tripped (§5.3)
 
 
 def _sum(x, axis_name):
@@ -86,10 +87,22 @@ def pcg(
     # Guard b == 0: solution is 0, declare converged immediately.
     threshold = tol * jnp.maximum(bnorm, jnp.finfo(b.dtype).tiny)
 
+    # Divergence guard (SURVEY.md §5.3): the reference leaves zeros in U on
+    # solver failure and just prints the ALGLIB termination code
+    # (SolverFunctions.cs:323-327,417-420); here a NaN or a residual blow-up
+    # past 1e8x the stopping threshold aborts the loop and is reported via
+    # CGResult.diverged so callers can refuse the result.
+    blowup = jnp.asarray(1.0e8, dtype=b.dtype) * jnp.maximum(
+        bnorm, jnp.finfo(b.dtype).tiny)
+
+    def _bad(rnorm):
+        return jnp.logical_or(~jnp.isfinite(rnorm), rnorm > blowup)
+
     def cond(state):
         _, r, _, _, k = state
         rnorm = jnp.sqrt(_sum(r * r, axis_name))
-        return jnp.logical_and(rnorm > threshold, k < maxiter)
+        return jnp.logical_and(
+            jnp.logical_and(rnorm > threshold, k < maxiter), ~_bad(rnorm))
 
     def body(state):
         x, r, p, rz, k = state
@@ -107,7 +120,8 @@ def pcg(
         cond, body, (x, r, p, rz, jnp.int32(0))
     )
     rnorm = jnp.sqrt(_sum(r * r, axis_name))
-    return CGResult(u=x, iters=iters, residual=rnorm, converged=rnorm <= threshold)
+    return CGResult(u=x, iters=iters, residual=rnorm,
+                    converged=rnorm <= threshold, diverged=_bad(rnorm))
 
 
 @partial(jax.jit, static_argnums=(2, 3))
