@@ -98,28 +98,31 @@ def pcg(
     def _bad(rnorm):
         return jnp.logical_or(~jnp.isfinite(rnorm), rnorm > blowup)
 
+    # rnorm is carried in the loop state (computed fused with the r update
+    # in body) so cond() costs no extra full-vector reduction pass.
+    rnorm0 = jnp.sqrt(_sum(r * r, axis_name))
+
     def cond(state):
-        _, r, _, _, k = state
-        rnorm = jnp.sqrt(_sum(r * r, axis_name))
+        _, r, _, _, rnorm, k = state
         return jnp.logical_and(
             jnp.logical_and(rnorm > threshold, k < maxiter), ~_bad(rnorm))
 
     def body(state):
-        x, r, p, rz, k = state
+        x, r, p, rz, _, k = state
         Ap = A(p)
         alpha = rz / _sum(p * Ap, axis_name)
         x = x + alpha * p
         r = r - alpha * Ap
         z = precond(r)
         rz_new = _sum(r * z, axis_name)
+        rnorm = jnp.sqrt(_sum(r * r, axis_name))
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, p, rz_new, k + 1)
+        return (x, r, p, rz_new, rnorm, k + 1)
 
-    x, r, p, rz, iters = jax.lax.while_loop(
-        cond, body, (x, r, p, rz, jnp.int32(0))
+    x, r, p, rz, rnorm, iters = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, rnorm0, jnp.int32(0))
     )
-    rnorm = jnp.sqrt(_sum(r * r, axis_name))
     return CGResult(u=x, iters=iters, residual=rnorm,
                     converged=rnorm <= threshold, diverged=_bad(rnorm))
 
