@@ -17,7 +17,7 @@ from stan_tpu.fem import stencil, structured
 from stan_tpu.fem.operator import build_operator
 
 
-def _ops(nx=5, ny=3, nz=4, **kw):
+def _ops(nx=4, ny=3, nz=3, **kw):
     m = meshgen.hex_beam(nx, ny, nz, **kw)
     base = structured.build_structured_operator(m)
     sop = stencil.build_stencil_operator(m)
@@ -40,7 +40,7 @@ def test_interior_table_row_sums():
 
 
 def test_apply_raw_matches_structured_everywhere():
-    m, base, sop = _ops(5, 4, 3)
+    m, base, sop = _ops(4, 4, 3)
     u = _rand((3,) + base.node_shape, base.dtype)
     f_ref = base.apply_raw(u)
     f = sop.apply_raw(u)
@@ -51,7 +51,7 @@ def test_apply_raw_matches_structured_everywhere():
 
 def test_apply_raw_boundary_rows_exact():
     """Check the face/edge/corner rows specifically (the tiered tables)."""
-    m, base, sop = _ops(4, 3, 5)
+    m, base, sop = _ops(3, 3, 4)
     u = _rand((3,) + base.node_shape, base.dtype, seed=3)
     f_ref = np.asarray(base.apply_raw(u))
     f = np.asarray(sop.apply_raw(u))
@@ -113,7 +113,7 @@ def test_rejects_tiny_grid():
 
 def test_g1_formulation_tables():
     """Reduced-integration (G1) element stiffness feeds the same machinery."""
-    m = meshgen.hex_beam(4, 3, 3)
+    m = meshgen.hex_beam(3, 3, 3)
     m.set_formulation("HEX8_G1")
     base = structured.build_structured_operator(m)
     sop = stencil.build_stencil_operator(m)
