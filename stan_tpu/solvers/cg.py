@@ -127,6 +127,75 @@ def pcg(
                     converged=rnorm <= threshold, diverged=_bad(rnorm))
 
 
+class RefinedResult(NamedTuple):
+    u: "object"          # np.ndarray float64 solution
+    cycles: int
+    rel_residual: float  # true ||b - A_hi u|| / ||b|| (float64)
+    inner_iters: int     # total low-precision CG iterations
+    converged: bool
+
+
+def pcg_refined(
+    A,
+    b_hi,
+    A_hi,
+    *,
+    diag=None,
+    tol: float = 1.0e-6,
+    inner_tol: float = 1.0e-6,
+    maxiter: int = 0,
+    ndof: Optional[int] = None,
+    max_cycles: int = 6,
+    lo_dtype=jnp.float32,
+) -> RefinedResult:
+    """Mixed-precision iterative refinement: low-precision CG inner solves,
+    float64 true-residual outer loop (SURVEY.md section 7.3 "fp64 on TPU":
+    fp32-with-iterative-refinement instead of emulated fp64 in the hot loop).
+
+    Each cycle computes the true residual r = b - A_hi(x) in float64 (A_hi
+    is a host/f64 operator, e.g. fem/stencil.apply_numpy with exact_tables),
+    solves the correction A d = r with the fast low-precision operator, and
+    accumulates x in float64. Converges past the single-precision residual
+    floor as long as CG contracts the error at all (classic Wilkinson
+    refinement); stops early once a cycle no longer reduces the residual.
+
+    Args:
+      A: low-precision device operator (same masked SPD convention as pcg).
+      b_hi: float64 RHS (numpy or jax, any grid shape).
+      A_hi: float64 operator, called on numpy arrays outside jit.
+      tol: target true relative residual ||r||/||b||.
+      inner_tol: per-cycle relative tolerance of the low-precision CG.
+    """
+    import numpy as np
+
+    b64 = np.asarray(b_hi, np.float64)
+    bnorm = float(np.linalg.norm(b64.ravel()))
+    if bnorm == 0.0:
+        return RefinedResult(np.zeros_like(b64), 0, 0.0, 0, True)
+
+    inner = jax.jit(lambda r: pcg(
+        A, r, diag=diag, tol=inner_tol, maxiter=maxiter, ndof=ndof))
+
+    x = np.zeros_like(b64)
+    total_iters = 0
+    rel = np.inf
+    cycles = 0
+    for cycles in range(1, max_cycles + 1):
+        r = b64 - np.asarray(A_hi(x), np.float64)
+        new_rel = float(np.linalg.norm(r.ravel())) / bnorm
+        if new_rel <= tol:
+            return RefinedResult(x, cycles - 1, new_rel, total_iters, True)
+        if new_rel >= rel:  # stalled at the low-precision floor
+            return RefinedResult(x, cycles - 1, new_rel, total_iters, False)
+        rel = new_rel
+        res = inner(jnp.asarray(r, dtype=lo_dtype))
+        total_iters += int(res.iters)
+        x = x + np.asarray(res.u, np.float64)
+    r = b64 - np.asarray(A_hi(x), np.float64)
+    new_rel = float(np.linalg.norm(r.ravel())) / bnorm
+    return RefinedResult(x, cycles, new_rel, total_iters, new_rel <= tol)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def pcg_fixed_iters(A_args, b, A_fn, niters: int):
     """Fixed-iteration-count CG (lax.fori_loop) for benchmarking: the body is
