@@ -18,6 +18,7 @@ Usage:
                                           [--synthetic] [--n-obs K]
   python -m stan_tpu.cli import mesh.bdf model.STdb [--E 210000 --poisson 0.3]
   python -m stan_tpu.cli export model.STdb out_prefix [--ascii]
+  python -m stan_tpu.cli strip-results model.STdb [--out other.STdb]
   python -m stan_tpu.cli info model.STdb
 """
 
@@ -178,8 +179,37 @@ def _cmd_calibrate(args) -> int:
     import jax as _jax
     import jax.numpy as _jnp
 
-    theta0 = _jnp.tile(
-        _jnp.asarray([[float(np.log(210000.0)), 0.0, 0.0]]), (inf.chains, 1))
+    from stan_tpu.parallel import distributed
+
+    # Device mesh for chain sharding ([sharding] config section; SURVEY.md
+    # §2.5 chain parallelism). Explicit extents win; otherwise all visible
+    # devices go on the chains axis when the chain count divides evenly.
+    sh = cfg.sharding
+    n_dev = len(_jax.devices())
+    mesh = None
+    if sh.chains > 1 or sh.domain > 1:
+        mesh = distributed.device_mesh(sh.chains, sh.domain)
+    elif n_dev > 1 and inf.chains % n_dev == 0:
+        mesh = distributed.device_mesh(n_dev, 1)
+    if mesh is not None:
+        n_chain_dev = mesh.devices.shape[0]
+        if inf.chains % n_chain_dev:
+            print(f"  ERROR: chains={inf.chains} not divisible by the "
+                  f"chains mesh axis ({n_chain_dev})")
+            return 2
+        print(f"   {distributed.describe(mesh)}")
+
+    # Overdispersed chain initializations (one theta0 tiled across chains
+    # would make R-hat systematically understate non-convergence): jitter
+    # each chain around the prior mean at ~half the prior scale.
+    rng_init = np.random.default_rng(inf.seed)
+    init_scale = np.asarray([0.5 * prob.sigma_logE, 1.0,
+                             0.5 * prob.sigma_logs])
+    if not inf.infer_load:
+        init_scale[2] = 0.0
+    theta0 = _jnp.asarray(
+        np.asarray([prob.mu_logE, 0.0, 0.0])
+        + rng_init.normal(0.0, 1.0, (inf.chains, 3)) * init_scale)
     key = _jax.random.PRNGKey(inf.seed)
     rhat = ess = None
     t0 = _time.perf_counter()
@@ -192,6 +222,7 @@ def _cmd_calibrate(args) -> int:
             out = run(
                 prob.log_posterior, theta0, key,
                 n_warmup=inf.warmup, n_samples=inf.samples,
+                mesh=mesh,
             )
             samples = np.asarray(out.samples)  # [chains, n, 3]
             accept = float(np.mean(out.accept_rate))
@@ -227,6 +258,7 @@ def _cmd_calibrate(args) -> int:
             out = smc_mod.run_smc(
                 log_prior, log_like, sample_prior, key,
                 n_particles=max(inf.chains * 64, 256),
+                mesh=mesh,
             )
             samples = np.asarray(out.particles)[None]
             accept = float(np.mean(out.acceptance))
@@ -252,6 +284,9 @@ def _cmd_calibrate(args) -> int:
             "calibrate", model=model, timer=timer,
             sampler=inf.sampler, chains=inf.chains, draws=n_draws,
             samples_per_s=sps, accept=accept, path=args.path,
+            mesh=distributed.describe(mesh) if mesh is not None else None,
+            n_devices=n_dev,
+            rhat=float(rhat) if rhat is not None else None,
         ))
     return 0
 
@@ -297,6 +332,27 @@ def _cmd_export(args) -> int:
     )
     for p in paths:
         print(f"  Wrote {p}")
+    return 0
+
+
+def _cmd_strip_results(args) -> int:
+    """Remove stored results from an STdb (the reference GUI's
+    Remove Results action, MainWindow.xaml.cs:731-763), shrinking the file
+    back to pre-solve size."""
+    import os
+
+    from stan_tpu.io import stdb
+
+    model = stdb.read(args.path)
+    if model.disp is None:
+        print("  No results in database; nothing to strip")
+        return 0
+    before = os.path.getsize(args.path)
+    model.strip_results()
+    out = args.out or args.path
+    stdb.write(model, out)
+    after = os.path.getsize(out)
+    print(f"  Stripped results: {before} -> {after} bytes ({out})")
     return 0
 
 
@@ -385,6 +441,13 @@ def main(argv=None) -> int:
     p.add_argument("--ascii", action="store_true")
     p.add_argument("--undeformed", action="store_true")
     p.set_defaults(fn=_cmd_export)
+
+    p = sub.add_parser(
+        "strip-results",
+        help="remove stored results from an STdb (shrinks the file)")
+    p.add_argument("path")
+    p.add_argument("--out", help="write here instead of overwriting")
+    p.set_defaults(fn=_cmd_strip_results)
 
     p = sub.add_parser("info", help="print database summary")
     p.add_argument("path")

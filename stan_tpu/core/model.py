@@ -137,6 +137,17 @@ class FEModel:
         # 3 DOF per node (reference: Database.cs:135-138).
         return 3 * self.nnode
 
+    def strip_results(self) -> None:
+        """Drop all solver results, shrinking the model for persistence.
+
+        Counterpart of the reference's Remove Results action
+        (MainWindow.xaml.cs:731-763 -> Element.ClearResults Element.cs:482-486
+        and Node.ClearResults Node.cs:225-230, then Result_StepNo = 0)."""
+        self.disp = None
+        self.stress = None
+        self.strain = None
+        self.analysis.result_step_no = 0
+
     # ------------------------------------------------------------------
     # Index helpers
     # ------------------------------------------------------------------

@@ -107,24 +107,32 @@ class HMCResult:
     inv_mass: np.ndarray  # [chains, D]
     rhat: np.ndarray  # [D]
     ess: np.ndarray  # [D]
+    # Mean gradient evaluations per post-warmup draw per chain (for HMC this
+    # is the static n_leapfrog; for NUTS the measured dynamic trajectory
+    # length — the cost-model observable).
+    evals_per_sample: Optional[np.ndarray] = None
 
 
-def run_hmc(
-    logp_fn: Callable[[jax.Array], jax.Array],
+def run_chains(
+    logp_grad,
+    transition,
     theta0: jax.Array,  # [chains, D]
     rng: jax.Array,
     *,
-    n_samples: int = 1000,
-    n_warmup: int = 500,
-    n_leapfrog: int = 16,
-    init_step: float = 0.1,
-    target_accept: float = 0.8,
+    n_samples: int,
+    n_warmup: int,
+    init_step: float,
+    target_accept: float,
     mesh=None,
     chain_axis: str = "chains",
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
 ) -> HMCResult:
-    """Run vmapped HMC chains with warmup; optionally shard over a mesh.
+    """Shared chunked/checkpointed driver for vmapped MCMC chains.
+
+    ``transition(rng, state, step, inv_mass) -> (state, accept_prob,
+    n_grad_evals)`` is the kernel (HMC or NUTS); warmup (dual-averaging step
+    size + Welford diagonal mass) and the chunk loop are identical for both.
 
     With `mesh` given, the chain axis of state/samples is placed on
     `chain_axis` via NamedSharding, so XLA executes chains SPMD across
@@ -133,27 +141,19 @@ def run_hmc(
     With `checkpoint_path` given, chain state (positions, tuned step sizes,
     mass matrices, draws so far) is snapshotted every `checkpoint_every`
     samples (default: 10 chunks) and the run resumes from the snapshot if
-    one exists (SURVEY.md §5.4: sampler-state checkpointing).
+    one exists (SURVEY.md §5.4: sampler-state checkpointing). Draw chunks
+    are appended as separate keys so cumulative write traffic is O(n), not
+    O(n^2) (VERDICT.md round-1 weak item 8).
     """
     from stan_tpu.utils import checkpoint as ckpt
 
     theta0 = jnp.asarray(theta0)
     n_chains, dim = theta0.shape
 
-    val_grad = jax.value_and_grad(logp_fn)
-
-    def logp_grad(theta):
-        v, g = val_grad(theta)
-        v = jnp.where(jnp.isfinite(v), v, -jnp.inf)
-        g = jnp.where(jnp.isfinite(g), g, 0.0)
-        return v, g
-
     def warmup_scan(carry, rng_i):
         state, da, mean, m2, cnt, inv_mass = carry
         step = jnp.exp(da.log_step)
-        state, ap = hmc_transition(
-            logp_grad, rng_i, state, step, inv_mass, n_leapfrog
-        )
+        state, ap, _ = transition(rng_i, state, step, inv_mass)
         da = _dual_avg_update(da, ap, target=target_accept)
         # Welford accumulation for the diagonal mass matrix
         cnt = cnt + 1.0
@@ -164,10 +164,8 @@ def run_hmc(
 
     def sample_scan(carry, rng_i):
         state, step, inv_mass = carry
-        state, ap = hmc_transition(
-            logp_grad, rng_i, state, step, inv_mass, n_leapfrog
-        )
-        return (state, step, inv_mass), (state.theta, ap)
+        state, ap, ne = transition(rng_i, state, step, inv_mass)
+        return (state, step, inv_mass), (state.theta, ap, ne)
 
     def one_chain_warmup(theta_init, key):
         v, g = logp_grad(theta_init)
@@ -189,10 +187,10 @@ def run_hmc(
     def one_chain_chunk(theta, step, inv_mass, keys):
         v, g = logp_grad(theta)
         state = HMCState(theta, v, g)
-        (state, _, _), (thetas, aps) = jax.lax.scan(
+        (state, _, _), (thetas, aps, nes) = jax.lax.scan(
             sample_scan, (state, step, inv_mass), keys
         )
-        return state.theta, thetas, jnp.sum(aps)
+        return state.theta, thetas, jnp.sum(aps), jnp.sum(nes)
 
     sharding = None
     if mesh is not None:
@@ -212,24 +210,31 @@ def run_hmc(
                                  if checkpoint_path else n_samples)
     state_ck = ckpt.load_or_none(checkpoint_path)
 
+    resumed = False
     if state_ck is not None and state_ck.get("n_warmup") == n_warmup:
-        theta = jnp.asarray(state_ck["theta"])
-        step = jnp.asarray(state_ck["step"])
-        inv_mass = jnp.asarray(state_ck["inv_mass"])
-        draws = [np.asarray(state_ck["samples"])]
-        done = int(state_ck["n_done"])
-        acc_sum = np.asarray(state_ck["acc_sum"])
-    else:
+        try:
+            draws = [np.asarray(c) for c in ckpt.load_chunks(
+                checkpoint_path, int(state_ck["n_chunks"]))]
+            theta = jnp.asarray(state_ck["theta"])
+            step = jnp.asarray(state_ck["step"])
+            inv_mass = jnp.asarray(state_ck["inv_mass"])
+            done = int(state_ck["n_done"])
+            acc_sum = np.asarray(state_ck["acc_sum"])
+            eval_sum = np.asarray(state_ck["eval_sum"])
+            resumed = True
+        except Exception:
+            resumed = False  # missing/corrupt chunk sidecar: start fresh
+    if not resumed:
         theta, step, inv_mass = warm_fn(theta0, chain_keys)
         draws, done = [], 0
         acc_sum = np.zeros(n_chains)
+        eval_sum = np.zeros(n_chains)
         if checkpoint_path:
             ckpt.save(checkpoint_path, {
-                "n_warmup": n_warmup, "n_done": 0,
+                "n_warmup": n_warmup, "n_done": 0, "n_chunks": 0,
                 "theta": np.asarray(theta), "step": np.asarray(step),
                 "inv_mass": np.asarray(inv_mass),
-                "samples": np.zeros((n_chains, 0, dim)),
-                "acc_sum": acc_sum,
+                "acc_sum": acc_sum, "eval_sum": eval_sum,
             })
 
     sample_key = jax.random.fold_in(rng, 1)
@@ -241,17 +246,22 @@ def run_hmc(
             jax.random.split(sample_key, n_chains)))
         if sharding is not None:
             keys = jax.device_put(keys, sharding)
-        theta, thetas, aps = chunk_fn(theta, step, inv_mass, keys)
+        theta, thetas, aps, nes = chunk_fn(theta, step, inv_mass, keys)
         draws.append(np.asarray(thetas))
         acc_sum = acc_sum + np.asarray(aps)
+        eval_sum = eval_sum + np.asarray(nes)
         done += take
         if checkpoint_path:
+            # Append-only (O(n) total write traffic): the new chunk is
+            # written once to its own sidecar; the small state file only
+            # records how many chunks exist.
+            ckpt.save_chunk(checkpoint_path, len(draws) - 1, draws[-1])
             ckpt.save(checkpoint_path, {
                 "n_warmup": n_warmup, "n_done": done,
+                "n_chunks": len(draws),
                 "theta": np.asarray(theta), "step": np.asarray(step),
                 "inv_mass": np.asarray(inv_mass),
-                "samples": np.concatenate(draws, axis=1),
-                "acc_sum": acc_sum,
+                "acc_sum": acc_sum, "eval_sum": eval_sum,
             })
 
     samples = np.concatenate(draws, axis=1)  # [chains, n_samples, D]
@@ -263,6 +273,48 @@ def run_hmc(
         inv_mass=np.asarray(inv_mass),
         rhat=rhat,
         ess=ess,
+        evals_per_sample=eval_sum / max(n_samples, 1),
+    )
+
+
+def run_hmc(
+    logp_fn: Callable[[jax.Array], jax.Array],
+    theta0: jax.Array,  # [chains, D]
+    rng: jax.Array,
+    *,
+    n_samples: int = 1000,
+    n_warmup: int = 500,
+    n_leapfrog: int = 16,
+    init_step: float = 0.1,
+    target_accept: float = 0.8,
+    mesh=None,
+    chain_axis: str = "chains",
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+) -> HMCResult:
+    """Run vmapped HMC chains with warmup; optionally shard over a mesh.
+
+    See ``run_chains`` for the mesh-sharding and checkpoint/resume contract.
+    """
+    val_grad = jax.value_and_grad(logp_fn)
+
+    def logp_grad(theta):
+        v, g = val_grad(theta)
+        v = jnp.where(jnp.isfinite(v), v, -jnp.inf)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        return v, g
+
+    def transition(rng_i, state, step, inv_mass):
+        state, ap = hmc_transition(
+            logp_grad, rng_i, state, step, inv_mass, n_leapfrog
+        )
+        return state, ap, jnp.asarray(float(n_leapfrog), state.theta.dtype)
+
+    return run_chains(
+        logp_grad, transition, theta0, rng,
+        n_samples=n_samples, n_warmup=n_warmup, init_step=init_step,
+        target_accept=target_accept, mesh=mesh, chain_axis=chain_axis,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
     )
 
 

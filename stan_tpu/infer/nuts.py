@@ -1,28 +1,34 @@
-"""No-U-Turn Sampler (multinomial variant) with static tree recursion.
+"""No-U-Turn Sampler (multinomial variant), iterative tree building.
 
-New capability (BASELINE.json: "NUTS/HMC calibration of E and nu"). The
-tree doubling is expressed as *static Python recursion* over tree depth, so
-the whole transition is one jit-compilable computation graph with
-`lax.cond` dispatch — no data-dependent Python control flow (XLA-friendly,
-vmappable across chains; under vmap both cond branches execute, the usual
-SPMD NUTS trade-off, so keep max_depth moderate for expensive targets like
-FEM forward solves).
+New capability (BASELINE.json: "NUTS/HMC calibration of E and nu"); the
+reference has no inference layer.
 
-Implements the multinomial-sampling NUTS of Betancourt (2017): progressive
-multinomial sampling from the trajectory weighted by exp(logp - kinetic),
-generalized U-turn criterion checked for every power-of-two subtree.
+Design: the trajectory is grown by a `lax.while_loop` over *individual
+leapfrog steps* with an O(max_depth) checkpoint stack for the aligned
+power-of-two U-turn checks (the iterative formulation of Phan & Pradhan,
+arXiv:1912.11554, as adopted by Stan/NumPyro). Compared to a static
+recursion that evaluates both `lax.cond` branches under vmap, a trajectory
+that U-turns after k steps costs k gradient evaluations instead of always
+2^max_depth — for FEM forward models each gradient is an implicit-adjoint
+linear solve, so this is the difference between paying for the actual
+trajectory and paying worst-case every transition.
 
-Warmup (step size dual averaging + diagonal mass) reuses infer/hmc.py.
+Implements multinomial sampling from the trajectory weighted by
+exp(logp - kinetic) (Betancourt 2017), with the generalized U-turn
+criterion checked for every power-of-two aligned subtree, and Stan
+semantics for rejected subtrees (a doubling that turns or diverges
+contributes no proposal).
+
+Warmup (step size dual averaging + diagonal mass) and chunked
+checkpoint/resume reuse infer/hmc.run_chains.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from stan_tpu.infer import hmc as hmc_mod
 
@@ -32,18 +38,6 @@ class _Z(NamedTuple):
     p: jax.Array
     logp: jax.Array
     grad: jax.Array
-
-
-class _Tree(NamedTuple):
-    z_left: _Z
-    z_right: _Z
-    z_prop: _Z  # multinomial proposal from this subtree
-    log_weight: jax.Array  # logsumexp of canonical weights in subtree
-    turning: jax.Array  # bool
-    diverging: jax.Array  # bool
-    sum_p: jax.Array  # sum of momenta (generalized U-turn)
-    sum_accept: jax.Array  # sum over leaves of min(1, exp(e - e0))
-    n_leaves: jax.Array  # leaf count (for the mean accept statistic)
 
 
 def _leapfrog_step(logp_grad, z: _Z, step, inv_mass, direction):
@@ -59,136 +53,205 @@ def _energy(z: _Z, inv_mass):
     return z.logp - 0.5 * jnp.sum(inv_mass * z.p**2)
 
 
-def _is_turning(z_left: _Z, z_right: _Z, sum_p, inv_mass):
-    """Generalized U-turn: momentum projected on the trajectory span."""
+def _turning(p_left, p_right, sum_p, inv_mass):
+    """Generalized U-turn: momentum projected on the trajectory span.
+
+    Symmetric in (left, right), so it is orientation-agnostic: valid for
+    spans built in either direction.
+    """
     dr = inv_mass * sum_p
-    left = jnp.sum(dr * z_left.p) <= 0.0
-    right = jnp.sum(dr * z_right.p) <= 0.0
-    return jnp.logical_or(left, right)
+    return jnp.logical_or(
+        jnp.sum(dr * p_left) <= 0.0, jnp.sum(dr * p_right) <= 0.0
+    )
 
 
-def _combine(rng, first: _Tree, second: _Tree, inv_mass, direction):
-    """Merge two adjacent subtrees (first is nearer the start point)."""
-    z_left = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(direction > 0, a, b), first.z_left, second.z_left
-    )
-    z_right = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(direction > 0, b, a), first.z_right, second.z_right
-    )
-    log_w = jnp.logaddexp(first.log_weight, second.log_weight)
-    # Multinomial: take second's proposal with prob exp(lw2 - lw)
-    take2 = jnp.log(jax.random.uniform(rng)) < second.log_weight - log_w
-    z_prop = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(take2, b, a), first.z_prop, second.z_prop
-    )
-    sum_p = first.sum_p + second.sum_p
-    turning = jnp.logical_or(
-        jnp.logical_or(first.turning, second.turning),
-        _is_turning(z_left, z_right, sum_p, inv_mass),
-    )
-    return _Tree(
-        z_left, z_right, z_prop, log_w, turning,
-        jnp.logical_or(first.diverging, second.diverging), sum_p,
-        first.sum_accept + second.sum_accept,
-        first.n_leaves + second.n_leaves,
-    )
+def _popcount16(n):
+    """Population count for 0 <= n < 2^16 (traced int32)."""
+    return jnp.sum((n >> jnp.arange(16, dtype=jnp.int32)) & 1)
+
+
+def _trailing_ones(n):
+    """Number of trailing 1-bits of n >= 0 (traced int32)."""
+    return _popcount16((~n & (n + 1)) - 1)
 
 
 _MAX_DELTA_ENERGY = 1000.0  # Stan's divergence threshold
 
 
-def _build_tree(logp_grad, rng, z_edge: _Z, depth, step, inv_mass,
-                direction, energy0):
-    """Static recursion: subtree of 2^depth leaves grown from z_edge."""
-    if depth == 0:
-        z = _leapfrog_step(logp_grad, z_edge, step, inv_mass, direction)
+class _Subtree(NamedTuple):
+    z_end: _Z  # outermost leaf (the new trajectory edge if accepted)
+    z_prop: _Z  # multinomial proposal from this subtree
+    log_weight: jax.Array
+    sum_p: jax.Array  # momentum sum over built leaves
+    turning: jax.Array
+    diverging: jax.Array
+    sum_accept: jax.Array
+    n_leaves: jax.Array  # leaves actually built (= gradient evals)
+
+
+def _build_subtree(logp_grad, rng, z_edge: _Z, depth, step, inv_mass,
+                   direction, energy0, max_depth: int) -> _Subtree:
+    """Grow up to 2^depth leaves from z_edge, one leapfrog per iteration.
+
+    U-turn checks cover every aligned power-of-two sub-span via a
+    checkpoint stack: leaf n (0-based, build order) stores its momentum and
+    the inclusive momentum prefix-sum at stack slot popcount(n >> 1) when n
+    is even; when n is odd it checks the spans ending at n against slots
+    [popcount(n>>1) - trailing_ones(n) + 1 .. popcount(n>>1)], which hold
+    exactly the first leaves of those spans. Stops at the first U-turn or
+    divergence, so the loop cost is the realized trajectory length.
+    `depth` may be traced (the outer doubling loop carries it).
+    """
+    dim = z_edge.theta.shape[0]
+    dtype = z_edge.theta.dtype
+    n_max = jnp.left_shift(jnp.int32(1), jnp.asarray(depth, jnp.int32))
+
+    init = (
+        jnp.int32(0),  # n: leaves built so far
+        z_edge,  # current (outermost) state
+        z_edge,  # proposal (placeholder until first leaf)
+        jnp.asarray(-jnp.inf, dtype),  # subtree log weight
+        jnp.zeros(dim, dtype),  # momentum prefix sum
+        jnp.zeros((max_depth, dim), dtype),  # p checkpoints
+        jnp.zeros((max_depth, dim), dtype),  # prefix-sum checkpoints
+        jnp.asarray(False),  # turning
+        jnp.asarray(False),  # diverging
+        jnp.asarray(0.0, dtype),  # sum of leaf Metropolis ratios
+        rng,
+    )
+
+    def cond(c):
+        n, *_ = c
+        turning, diverging = c[7], c[8]
+        return (n < n_max) & ~turning & ~diverging
+
+    def body(c):
+        n, z, z_prop, lw, cps, p_ck, ps_ck, turning, diverging, sacc, key = c
+        key, k_take = jax.random.split(key)
+        z = _leapfrog_step(logp_grad, z, step, inv_mass, direction)
         e = _energy(z, inv_mass)
         delta = e - energy0
         diverging = delta < -_MAX_DELTA_ENERGY
-        log_w = jnp.where(jnp.isfinite(delta), delta, -jnp.inf)
-        accept = jnp.where(
+        w = jnp.where(jnp.isfinite(delta), delta, -jnp.inf)
+        # Progressive multinomial sampling: take the new leaf with
+        # probability exp(w - logaddexp(lw, w)) — equivalent in
+        # distribution to the recursive pairwise combine.
+        lw_new = jnp.logaddexp(lw, w)
+        u = jax.random.uniform(k_take, dtype=dtype)
+        take = jnp.log(u) < w - lw_new
+        z_prop = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(take, a, b), z, z_prop
+        )
+        sacc = sacc + jnp.where(
             jnp.isfinite(delta), jnp.minimum(1.0, jnp.exp(delta)), 0.0
         )
-        return _Tree(
-            z, z, z, log_w,
-            jnp.asarray(False), diverging, z.p,
-            accept, jnp.asarray(1.0, z.theta.dtype),
+        cps = cps + z.p
+        idx_max = _popcount16(n >> 1)
+        # Even leaf: start of future aligned spans -> store checkpoint.
+        even = (n & 1) == 0
+        p_ck = jnp.where(even, p_ck.at[idx_max].set(z.p), p_ck)
+        ps_ck = jnp.where(even, ps_ck.at[idx_max].set(cps), ps_ck)
+        # Odd leaf: spans of size 2^k end here for k = 1..trailing_ones(n);
+        # their first leaves sit at slots idx_min..idx_max (empty range on
+        # even leaves, so no guard needed).
+        idx_min = idx_max - _trailing_ones(n) + 1
+
+        def check(i, turn):
+            span_sum = cps - ps_ck[i] + p_ck[i]
+            return turn | _turning(p_ck[i], z.p, span_sum, inv_mass)
+
+        turning = jax.lax.fori_loop(
+            idx_min, idx_max + 1, check, jnp.asarray(False)
         )
-    k1, k2, k3 = jax.random.split(rng, 3)
-    half = _build_tree(logp_grad, k1, z_edge, depth - 1, step, inv_mass,
-                       direction, energy0)
+        return (n + 1, z, z_prop, lw_new, cps, p_ck, ps_ck,
+                turning, diverging, sacc, key)
 
-    def grow(_):
-        # the outward edge of `half` is z_right when direction>0 else z_left
-        edge = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(direction > 0, a, b),
-            half.z_right, half.z_left,
-        )
-        second = _build_tree(logp_grad, k2, edge, depth - 1, step, inv_mass,
-                             direction, energy0)
-        return _combine(k3, half, second, inv_mass, direction)
-
-    def stop(_):
-        return half
-
-    return jax.lax.cond(
-        jnp.logical_or(half.turning, half.diverging), stop, grow, None
+    (n, z, z_prop, lw, cps, _, _, turning, diverging, sacc, _) = (
+        jax.lax.while_loop(cond, body, init)
     )
+    return _Subtree(z, z_prop, lw, cps, turning, diverging, sacc,
+                    n.astype(dtype))
 
 
 def nuts_transition(logp_grad, rng, state: hmc_mod.HMCState, step, inv_mass,
                     max_depth: int):
-    """One NUTS transition. Returns (state, accept_stat)."""
-    k_mom, k_dir, k_tree = jax.random.split(rng, 3)
-    p0 = jax.random.normal(k_mom, state.theta.shape, state.theta.dtype)
+    """One NUTS transition. Returns (state, accept_stat, n_grad_evals)."""
+    dtype = state.theta.dtype
+    k_mom, k_loop = jax.random.split(rng)
+    p0 = jax.random.normal(k_mom, state.theta.shape, dtype)
     p0 = p0 * jnp.sqrt(1.0 / inv_mass)
     z0 = _Z(state.theta, p0, state.logp, state.grad)
     energy0 = _energy(z0, inv_mass)
 
-    init = _Tree(z0, z0, z0, jnp.asarray(0.0, state.theta.dtype),
-                 jnp.asarray(False), jnp.asarray(False), p0,
-                 jnp.asarray(1.0, state.theta.dtype),
-                 jnp.asarray(1.0, state.theta.dtype))
-
-    def doubling(carry, key):
-        tree, depth_done = carry
-        kd, kb, kc = jax.random.split(key, 3)
-        direction = jnp.where(
-            jax.random.bernoulli(kd), 1.0, -1.0
-        ).astype(state.theta.dtype)
-
-        def grow(_):
-            edge = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(direction > 0, a, b),
-                tree.z_right, tree.z_left,
-            )
-            # subtree of the same size as the current tree
-            sub = _build_tree(logp_grad, kb, edge, depth_done, step,
-                              inv_mass, direction, energy0)
-            return _combine(kc, tree, sub, inv_mass, direction)
-
-        def stop(_):
-            return tree
-
-        new = jax.lax.cond(
-            jnp.logical_or(tree.turning, tree.diverging), stop, grow, None
-        )
-        return (new, depth_done + 1), None
-
-    # Python loop over doublings (static max_depth); each doubling's subtree
-    # size is 2^depth via the static recursion above.
-    carry = (init, 0)
-    keys = jax.random.split(k_tree, max_depth)
-    for d in range(max_depth):
-        carry, _ = doubling(carry, keys[d])
-    tree, _ = carry
-
-    new_state = hmc_mod.HMCState(
-        tree.z_prop.theta, tree.z_prop.logp, tree.z_prop.grad
+    init = (
+        z0,  # left edge of trajectory
+        z0,  # right edge
+        z0,  # proposal
+        jnp.asarray(0.0, dtype),  # trajectory log weight (initial leaf = 1)
+        p0,  # trajectory momentum sum
+        jnp.asarray(False),  # turning
+        jnp.asarray(False),  # diverging
+        jnp.asarray(1.0, dtype),  # sum_accept (initial point counts 1)
+        jnp.asarray(1.0, dtype),  # n_leaves
+        jnp.int32(0),  # depth (doublings completed)
+        k_loop,
     )
+
+    def cond(c):
+        turning, diverging, depth = c[5], c[6], c[9]
+        return (depth < max_depth) & ~turning & ~diverging
+
+    def body(c):
+        (z_left, z_right, z_prop, lw, sum_p, turning, diverging,
+         sacc, n_leaves, depth, key) = c
+        key, kd, kt, kc = jax.random.split(key, 4)
+        direction = jnp.where(jax.random.bernoulli(kd), 1.0, -1.0).astype(
+            dtype)
+        edge = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(direction > 0, a, b), z_right, z_left
+        )
+        sub = _build_subtree(logp_grad, kt, edge, depth, step, inv_mass,
+                             direction, energy0, max_depth)
+        # Stan semantics: a subtree that turned or diverged is rejected
+        # whole — no proposal, no weight, the trajectory ends here.
+        valid = ~sub.turning & ~sub.diverging
+        lw_new = jnp.logaddexp(lw, sub.log_weight)
+        u = jax.random.uniform(kc, dtype=dtype)
+        take = valid & (jnp.log(u) < sub.log_weight - lw_new)
+        z_prop = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(take, a, b), sub.z_prop, z_prop
+        )
+        lw = jnp.where(valid, lw_new, lw)
+        z_left_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(direction > 0, a, b), z_left, sub.z_end
+        )
+        z_right_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(direction > 0, a, b), sub.z_end, z_right
+        )
+        sum_p_new = sum_p + sub.sum_p
+        turn_comb = _turning(z_left_new.p, z_right_new.p, sum_p_new,
+                             inv_mass)
+        z_left = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(valid, a, b), z_left_new, z_left
+        )
+        z_right = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(valid, a, b), z_right_new, z_right
+        )
+        sum_p = jnp.where(valid, sum_p_new, sum_p)
+        turning = sub.turning | (valid & turn_comb)
+        diverging = sub.diverging
+        sacc = sacc + sub.sum_accept
+        n_leaves = n_leaves + sub.n_leaves
+        return (z_left, z_right, z_prop, lw, sum_p, turning, diverging,
+                sacc, n_leaves, depth + 1, key)
+
+    (_, _, z_prop, _, _, _, _, sacc, n_leaves, _, _) = jax.lax.while_loop(
+        cond, body, init
+    )
+    new_state = hmc_mod.HMCState(z_prop.theta, z_prop.logp, z_prop.grad)
     # Stan's accept statistic: mean Metropolis ratio over trajectory leaves.
-    accept = tree.sum_accept / tree.n_leaves
-    return new_state, accept
+    accept = sacc / n_leaves
+    return new_state, accept, n_leaves - 1.0  # gradient evals (minus seed)
 
 
 def run_nuts(
@@ -203,10 +266,13 @@ def run_nuts(
     target_accept: float = 0.8,
     mesh=None,
     chain_axis: str = "chains",
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> hmc_mod.HMCResult:
-    """NUTS with HMC-style warmup; same chain vmap/sharding as run_hmc."""
-    theta0 = jnp.asarray(theta0)
-    n_chains, dim = theta0.shape
+    """NUTS with HMC-style warmup; same chain vmap/sharding and chunked
+    checkpoint/resume as run_hmc (shared driver: hmc.run_chains)."""
+    if not 0 < max_depth <= 14:
+        raise ValueError("max_depth must be in 1..14")
     val_grad = jax.value_and_grad(logp_fn)
 
     def logp_grad(theta):
@@ -219,58 +285,9 @@ def run_nuts(
         return nuts_transition(logp_grad, rng_i, state, step, inv_mass,
                                max_depth)
 
-    def warmup_scan(carry, rng_i):
-        state, da, mean, m2, cnt, inv_mass = carry
-        state, ap = transition(rng_i, state, jnp.exp(da.log_step), inv_mass)
-        da = hmc_mod._dual_avg_update(da, ap, target=target_accept)
-        cnt = cnt + 1.0
-        delta = state.theta - mean
-        mean = mean + delta / cnt
-        m2 = m2 + delta * (state.theta - mean)
-        return (state, da, mean, m2, cnt, inv_mass), ap
-
-    def sample_scan(carry, rng_i):
-        state, step, inv_mass = carry
-        state, ap = transition(rng_i, state, step, inv_mass)
-        return (state, step, inv_mass), (state.theta, ap)
-
-    def one_chain(theta_init, key):
-        v, g = logp_grad(theta_init)
-        state = hmc_mod.HMCState(theta_init, v, g)
-        da = hmc_mod._dual_avg_init(jnp.asarray(init_step, theta_init.dtype))
-        inv_mass = jnp.ones_like(theta_init)
-        keys = jax.random.split(key, n_warmup + n_samples + 1)
-        carry = (state, da, jnp.zeros_like(theta_init),
-                 jnp.zeros_like(theta_init),
-                 jnp.asarray(0.0, theta_init.dtype), inv_mass)
-        (state, da, mean, m2, cnt, _), _ = jax.lax.scan(
-            warmup_scan, carry, keys[:n_warmup]
-        )
-        var = m2 / jnp.maximum(cnt - 1.0, 1.0)
-        inv_mass = jnp.where(var > 0, var, 1.0)
-        step = jnp.exp(da.log_step_avg)
-        (state, step, inv_mass), (thetas, aps) = jax.lax.scan(
-            sample_scan, (state, step, inv_mass), keys[n_warmup:-1]
-        )
-        return thetas, jnp.mean(aps), step, inv_mass
-
-    chain_keys = jax.random.split(rng, n_chains)
-    fn = jax.vmap(one_chain)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        sharding = NamedSharding(mesh, P(chain_axis))
-        theta0 = jax.device_put(theta0, sharding)
-        chain_keys = jax.device_put(chain_keys, sharding)
-        fn = jax.jit(fn, in_shardings=(sharding, sharding))
-    else:
-        fn = jax.jit(fn)
-
-    thetas, acc, step, inv_mass = fn(theta0, chain_keys)
-    samples = np.asarray(thetas)
-    rhat, ess = hmc_mod.diagnostics(samples)
-    return hmc_mod.HMCResult(
-        samples=samples, accept_rate=np.asarray(acc),
-        step_size=np.asarray(step), inv_mass=np.asarray(inv_mass),
-        rhat=rhat, ess=ess,
+    return hmc_mod.run_chains(
+        logp_grad, transition, theta0, rng,
+        n_samples=n_samples, n_warmup=n_warmup, init_step=init_step,
+        target_accept=target_accept, mesh=mesh, chain_axis=chain_axis,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
     )

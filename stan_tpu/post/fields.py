@@ -162,13 +162,17 @@ def export_vtu(
     fields=None,
     binary: bool = True,
     deformed: bool = True,
+    cell_variants: bool = True,
 ) -> List[str]:
     """Write one .vtu per increment: ``prefix_###.vtu``.
 
     Mirrors ExportWindow.Export_Click (ExportWindow.xaml.cs:43-108): chosen
-    point arrays on the (optionally deformed, ExportGrid -> UpdateNode)
-    mesh, one file per increment. ``fields`` filters by base field name
-    (default: all 24 point fields).
+    arrays on the (optionally deformed, ExportGrid -> UpdateNode) mesh, one
+    file per increment. ``fields`` filters by base field name (default: all
+    24 fields). Point variants go out as PointData; the reference's cell
+    variants (Element Max / Average / Min, Part.cs:383-390 and the
+    ExportWindow tri-state tree, ExportWindow.xaml.cs:61-67) go out as
+    CellData unless ``cell_variants=False``.
     """
     from stan_tpu.io import vtu as vtu_mod
 
@@ -180,16 +184,24 @@ def export_vtu(
     paths = []
     for inc in incs:
         all_fields = compute_all(model, inc)
-        point_data = {
-            name: arr
-            for name, arr in all_fields.items()
-            if not name.startswith(("Max ", "Average ", "Min "))
-            and name.rsplit(" INC ", 1)[0] in wanted
-        }
+        point_data, cell_data = {}, {}
+        for name, arr in all_fields.items():
+            is_cell = name.startswith(("Max ", "Average ", "Min "))
+            base = name.rsplit(" INC ", 1)[0]
+            if is_cell:
+                base = base.split(" ", 1)[1]
+            if base not in wanted:
+                continue
+            if is_cell:
+                if cell_variants:
+                    cell_data[name] = arr
+            else:
+                point_data[name] = arr
         pts = model.coords + (model.disp[inc] if deformed else 0.0)
         path = f"{prefix}_{inc:03d}.vtu"
         vtu_mod.write_vtu(
-            path, pts, model.conn, point_data=point_data, binary=binary
+            path, pts, model.conn, point_data=point_data,
+            cell_data=cell_data or None, binary=binary,
         )
         paths.append(path)
     return paths

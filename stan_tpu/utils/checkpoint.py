@@ -106,3 +106,27 @@ def load_or_none(path: Optional[str]) -> Any:
         return load(path)
     except Exception:
         return None
+
+
+# ---------------------------------------------------------------------------
+# Append-only chunk sidecars
+#
+# Long samplers accumulate draws in fixed-size chunks. Rewriting one
+# ever-growing array every chunk costs O(n^2) cumulative write traffic over
+# a run; instead each chunk is written ONCE to its own sidecar file next to
+# the main (small) state checkpoint, which only records how many chunks
+# exist. Total write traffic is O(n).
+# ---------------------------------------------------------------------------
+
+def chunk_path(path: str, idx: int) -> str:
+    return f"{path}.chunk{idx:05d}.npz"
+
+
+def save_chunk(path: str, idx: int, array) -> None:
+    """Write one draw chunk (atomic, write-once)."""
+    save(chunk_path(path, idx), {"chunk": np.asarray(array)})
+
+
+def load_chunks(path: str, n_chunks: int) -> list:
+    """Load chunk sidecars 0..n_chunks-1; raises if any is missing."""
+    return [load(chunk_path(path, i))["chunk"] for i in range(n_chunks)]

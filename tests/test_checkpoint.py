@@ -86,15 +86,59 @@ def test_hmc_checkpoint_resume(tmp_path):
     full = hmc.run_hmc(logp, theta0, key, **kwargs)
     assert full.samples.shape == (2, 200, 2)
 
-    # Truncate the checkpoint to half-way and resume: identical draws.
+    # Truncate the checkpoint to half-way (chunks of 50: keep the first two
+    # sidecars) and resume: identical draws.
     state = ckpt.load(path)
+    assert int(state["n_chunks"]) == 4  # append-only chunk files
     state["n_done"] = 100
-    state["samples"] = state["samples"][:, :100, :]
-    # theta must be the chain state after 100 draws = 100th sample
-    state["theta"] = state["samples"][:, 99, :]
+    state["n_chunks"] = 2
+    # theta must be the chain state after 100 draws = last draw of chunk 1
+    state["theta"] = ckpt.load_chunks(path, 2)[1][:, -1, :]
     ckpt.save(path, state)
     resumed = hmc.run_hmc(logp, theta0, key, **kwargs)
     np.testing.assert_allclose(
         resumed.samples[:, 100:, :], full.samples[:, 100:, :], atol=1e-12
     )
     np.testing.assert_allclose(resumed.samples, full.samples, atol=1e-12)
+
+
+def test_nuts_checkpoint_resume(tmp_path):
+    """NUTS has the same chunked checkpoint/resume contract as HMC."""
+    from stan_tpu.infer import nuts
+
+    def logp(th):
+        return -0.5 * jnp.sum(th**2)
+
+    path = str(tmp_path / "nuts.npz")
+    kwargs = dict(n_samples=80, n_warmup=80, max_depth=4,
+                  checkpoint_path=path, checkpoint_every=40)
+    theta0 = jnp.zeros((2, 2))
+    key = jax.random.PRNGKey(2)
+    full = nuts.run_nuts(logp, theta0, key, **kwargs)
+
+    state = ckpt.load(path)
+    state["n_done"] = 40
+    state["n_chunks"] = 1
+    state["theta"] = ckpt.load_chunks(path, 1)[0][:, -1, :]
+    ckpt.save(path, state)
+    resumed = nuts.run_nuts(logp, theta0, key, **kwargs)
+    np.testing.assert_allclose(resumed.samples, full.samples, atol=1e-12)
+
+
+def test_hmc_checkpoint_missing_chunk_restarts(tmp_path):
+    """A checkpoint whose chunk sidecar vanished is treated as absent."""
+    import os
+
+    from stan_tpu.infer import hmc
+
+    def logp(th):
+        return -0.5 * jnp.sum(th**2)
+
+    path = str(tmp_path / "hmc.npz")
+    kwargs = dict(n_samples=40, n_warmup=40, n_leapfrog=4,
+                  checkpoint_path=path, checkpoint_every=20)
+    theta0 = jnp.zeros((2, 2))
+    full = hmc.run_hmc(logp, theta0, jax.random.PRNGKey(1), **kwargs)
+    os.remove(ckpt.chunk_path(path, 0))
+    redo = hmc.run_hmc(logp, theta0, jax.random.PRNGKey(1), **kwargs)
+    np.testing.assert_allclose(redo.samples, full.samples, atol=1e-12)

@@ -56,6 +56,80 @@ def test_nuts_gaussian_moments():
     _check_moments(res.samples, mean_tol=0.15, cov_tol=0.4)
 
 
+def test_nuts_dynamic_cost():
+    """Iterative NUTS pays for the realized trajectory, not 2^max_depth:
+    on an easy 2-D Gaussian with max_depth=8, the measured gradient evals
+    per draw must sit far below the worst case of 255 (VERDICT.md round-1
+    weak item 4 — the static recursion paid full depth every transition)."""
+    theta0 = jnp.zeros((4, 2))
+    res = nuts.run_nuts(
+        _gauss_logp, theta0, jax.random.PRNGKey(11),
+        n_samples=300, n_warmup=300, max_depth=8,
+    )
+    assert res.evals_per_sample is not None
+    assert float(res.evals_per_sample.mean()) < 100.0
+    _check_moments(res.samples, mean_tol=0.3, cov_tol=0.9)
+
+
+def test_nuts_subtree_matches_bruteforce_uturn():
+    """The O(max_depth) checkpoint stack stops at exactly the leaf where a
+    recursive builder would detect the first aligned power-of-two U-turn.
+
+    Reference: an explicit numpy walk of the same leapfrog trajectory that
+    checks every aligned span [n+1-2^k, n] directly."""
+    from stan_tpu.infer.nuts import _Z, _build_subtree
+
+    def logp_grad(th):
+        return -0.5 * jnp.sum(th**2), -th
+
+    max_depth = 6
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        theta = rng.normal(size=2)
+        p = rng.normal(size=2)
+        step = float(rng.uniform(0.3, 1.2))
+        # numpy replica of the leapfrog trajectory (inv_mass = 1)
+        leaves_p = []
+        th, pp = theta.copy(), p.copy()
+        n_max = 2 ** max_depth
+        for _ in range(n_max):
+            pp = pp + 0.5 * step * (-th)
+            th = th + step * pp
+            pp = pp + 0.5 * step * (-th)
+            leaves_p.append(pp.copy())
+        # first leaf n where an aligned span ending at n U-turns
+        def trailing_ones(n):
+            t = 0
+            while n & 1:
+                t += 1
+                n >>= 1
+            return t
+
+        expect_leaves, expect_turn = n_max, False
+        for n in range(n_max):
+            for k in range(1, trailing_ones(n) + 1):
+                s = n + 1 - 2**k
+                span = np.sum(leaves_p[s:n + 1], axis=0)
+                if (span @ leaves_p[s] <= 0) or (span @ leaves_p[n] <= 0):
+                    expect_leaves, expect_turn = n + 1, True
+                    break
+            if expect_turn:
+                break
+
+        z0 = _Z(jnp.asarray(theta), jnp.asarray(p),
+                *map(jnp.asarray, logp_grad(jnp.asarray(theta))))
+        energy0 = jnp.asarray(-0.5 * (theta @ theta) - 0.5 * (p @ p))
+        sub = _build_subtree(
+            logp_grad, jax.random.PRNGKey(trial), z0,
+            jnp.int32(max_depth), jnp.asarray(step), jnp.ones(2),
+            jnp.asarray(1.0), energy0, max_depth,
+        )
+        assert int(sub.n_leaves) == expect_leaves, (
+            f"trial {trial}: stopped at {int(sub.n_leaves)} "
+            f"leaves, brute force says {expect_leaves}")
+        assert bool(sub.turning) == expect_turn
+
+
 def test_advi_gaussian():
     res = vi.run_advi(
         _gauss_logp, jnp.zeros(2), jax.random.PRNGKey(2),
@@ -104,6 +178,22 @@ def test_hmc_chain_sharding_matches_shapes():
     )
     assert res.samples.shape == (8, 200, 2)
     _check_moments(res.samples, mean_tol=0.3, cov_tol=0.8)
+
+
+def test_hmc_sharded_matches_unsharded():
+    """Chain sharding is a placement choice, not a numerics choice: the
+    sharded run reproduces the unsharded samples (same key) exactly."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("chains",))
+    theta0 = jax.random.normal(jax.random.PRNGKey(7), (8, 2))
+    kw = dict(n_samples=60, n_warmup=60, n_leapfrog=6)
+    res_s = hmc.run_hmc(_gauss_logp, theta0, jax.random.PRNGKey(8),
+                        mesh=mesh, **kw)
+    res_u = hmc.run_hmc(_gauss_logp, theta0, jax.random.PRNGKey(8), **kw)
+    np.testing.assert_allclose(res_s.samples, res_u.samples,
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(res_s.step_size, res_u.step_size, rtol=1e-12)
 
 
 # ---------------------------------------------------------------------------

@@ -79,3 +79,57 @@ def test_export_vtu_files(tmp_path):
     assert m_disp > 0
     got = arrays["_anon0"].reshape(-1, 3)  # Points array has no Name
     np.testing.assert_allclose(got, m.coords + m.disp[1], atol=1e-6)
+    # Cell variants (Element Max/Average/Min, ExportWindow.xaml.cs:61-67)
+    # ship as CellData with one value per element.
+    assert "Max von Mises Stress INC 1" in arrays
+    assert "Average Strain P1 INC 1" in arrays
+    assert arrays["Min Stress XX INC 1"].size == m.nelem
+    # Cell stats bracket the point average everywhere.
+    vm_max = arrays["Max von Mises Stress INC 1"]
+    vm_min = arrays["Min von Mises Stress INC 1"]
+    assert (vm_max >= vm_min - 1e-6).all()
+
+
+def test_export_vtu_field_filter_and_no_cells(tmp_path):
+    from stan_tpu.analysis.linear import solve_linear_statics
+    from stan_tpu.io import vtu
+
+    m = meshgen.hex_beam(2, 2, 2)
+    solve_linear_statics(m)
+    paths = fields.export_vtu(
+        m, str(tmp_path / "res"), binary=False,
+        fields=["Total Displacement"], cell_variants=False,
+    )
+    arrays = vtu.read_vtu_ascii(paths[1])
+    assert "Total Displacement INC 1" in arrays
+    assert "Max Total Displacement INC 1" not in arrays
+    assert "Stress XX INC 1" not in arrays
+
+
+def test_strip_results_roundtrip(tmp_path):
+    """strip-results removes results, shrinks the STdb, and the stripped
+    file re-solves to the same answer (MainWindow.xaml.cs:731-763)."""
+    import os
+
+    from stan_tpu import cli
+    from stan_tpu.analysis.linear import solve_linear_statics
+    from stan_tpu.io import stdb
+
+    m = meshgen.hex_beam(3, 2, 2)
+    solve_linear_statics(m)
+    u_ref = m.disp[1].copy()
+    path = str(tmp_path / "solved.STdb")
+    stdb.write(m, path)
+    size_with = os.path.getsize(path)
+
+    rc = cli.main(["strip-results", path])
+    assert rc == 0
+    assert os.path.getsize(path) < size_with
+    m2 = stdb.read(path)
+    assert m2.disp is None and m2.stress is None and m2.strain is None
+    assert m2.analysis.result_step_no == 0
+    # Stripped model still solves (mesh/BC/material payload intact).
+    solve_linear_statics(m2)
+    np.testing.assert_allclose(m2.disp[1], u_ref, rtol=1e-8, atol=1e-12)
+    # Second strip is a no-op.
+    assert cli.main(["strip-results", path]) == 0
