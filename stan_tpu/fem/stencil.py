@@ -20,25 +20,32 @@ element-expanded intermediates. The stencil form does the *assembled*
 minimum work -- 153 nonzero coefficient FMAs per interior node -- and the
 Pallas kernel streams u through VMEM exactly once (~12 MB/apply).
 
-Boundary exactness (sweep + corrections): a boundary node's row misses the
+Boundary exactness (in-kernel, tiered): a boundary node's row misses the
 "phantom" elements outside the grid, so the interior table is wrong on the
 6 grid faces. Every node is classified per axis as L(ow edge)/interior
 F(ree)/H(igh edge); for each of the 27 signatures the exact assembled table
 is derived mechanically by restricting the corner-pair sum to elements that
-exist (allowed corner offsets: F -> {0,1}, L -> {0}, H -> {1}). The Pallas
-kernel applies only the uniform interior table (no per-tier branches -- the
-sweep is one dense pass), and the 26 non-interior signatures are applied as
-*additive corrections* Delta_sig = T_sig - T_interior on their exact
-(disjoint) boundary regions with plain XLA slice arithmetic. The boundary
-regions are lower-dimensional, so their cost is a few percent of the
-interior sweep, and keeping them out of the kernel removes the thin-slice
-relayout overwrites the tiered in-kernel variant paid for.
+exist (allowed corner offsets: F -> {0,1}, L -> {0}, H -> {1}). The kernel
+applies the interior table to the whole block, then overwrites face rows
+(one constrained axis), then edge lines (two), then corner nodes (three) --
+each tier's table is exact on its own region interior, and the next tier
+overwrites exactly where the assumption breaks, so the result is the exact
+assembled action everywhere. All tiers run on VMEM-resident slices of the
+same halo window; the boundary regions are lower-dimensional, so their cost
+is a few percent of the interior sweep. (A round-2 variant moved the 26
+boundary tiers out of the kernel as serialized XLA slice-updates for
+shardability; that halved throughput -- 1714 -> 810 CG iters/s at 1M DOF --
+because each whole-buffer `.at[].add` is a dataflow barrier.)
 
-The same decomposition is what makes the operator shardable: the sweep only
-needs a 1-node ghost window, which in the multi-chip x-slab decomposition is
-the neighbor's boundary plane (ppermute halo) instead of zeros, and the x
-edge corrections apply only on the global-edge devices
-(parallel/sharded_stencil.py).
+Shardability without leaving the kernel: the x-axis L/H tiers are the only
+ones that depend on *global* position -- in the multi-chip x-slab
+decomposition the y/z tiers are local to every slab, and a slab's x ghost
+layer is its neighbor's boundary plane (ppermute halo) instead of zeros.
+The kernel therefore takes two dynamic SMEM flags (own-global-low-x-face,
+own-global-high-x-face) and predicates the x L/H tiers on them with
+pl.when, so one SPMD program serves every device
+(parallel/sharded_stencil.py passes axis_index indicators; the single-chip
+path passes constant ones).
 
 Applicability: single isotropic material + meshgen-ordered structured HEX8
 grid (build returns None otherwise; callers fall back to StructuredOperator
@@ -118,14 +125,23 @@ def delta_tables(tables: dict) -> dict:
     return deltas
 
 
-def _make_interior_kernel(table: dict, BX: int, NNY: int, NNZ: int):
-    """Pallas kernel: the uniform interior 27-point table over one x-block.
+def _make_fused_kernel(tables: dict, BX: int, SX: int, NNY: int, NNZ: int,
+                       nblocks: int):
+    """Generate the Pallas kernel: interior sweep + tiered boundary rows.
 
-    u_ref is the ghost-padded halo window [3, BX+2, NNY+2, NNZ+2] of the
-    program's BX output planes; f_ref is [3, BX, NNY, NNZ].
+    flags_ref is SMEM int32[2]: does this slab own the global low / high x
+    face (dynamic -- under shard_map it is an axis_index indicator, so the
+    same compiled SPMD program is exact on every device). u_ref is the
+    ghost-padded halo window [3, BX+2, NNY+2, NNZ+2] of the program's BX
+    output planes; f_ref is [3, BX, NNY, NNZ].
     """
+    from jax.experimental import pallas as pl
 
-    def kernel(u_ref, f_ref):
+    last_lx = SX - 1 - (nblocks - 1) * BX  # local x of the slab's last plane
+
+    def kernel(flags_ref, u_ref, f_ref):
+        pid = pl.program_id(0)
+
         # Hoist the 9 (y,z)-shifted halo windows per component; all later
         # accesses slice only the x (major) dim, which is relayout-free.
         shifted = {}
@@ -135,28 +151,77 @@ def _make_interior_kernel(table: dict, BX: int, NNY: int, NNZ: int):
                     shifted[(d, oy, oz)] = u_ref[
                         d, :, 1 + oy:1 + oy + NNY, 1 + oz:1 + oz + NNZ]
 
-        for c in range(3):
-            acc = None
-            for d in range(3):
-                for (ox, oy, oz), m in table.items():
-                    a = float(m[c, d])
-                    if a == 0.0:
-                        continue
-                    win = shifted[(d, oy, oz)]
-                    term = a * win[1 + ox:1 + ox + BX]
-                    acc = term if acc is None else acc + term
-            f_ref[c] = acc
+        def region(sig):
+            """(x window base, x size, y slice, z slice) of a tier region.
+
+            x is local to the block (None base means the full block);
+            y/z are slab-local node-grid slices.
+            """
+            sx, sy, sz = sig
+            xb, xs = (None, BX)
+            if sx == "L":
+                xb, xs = 0, 1
+            elif sx == "H":
+                xb, xs = last_lx, 1
+            ysl = {"F": slice(0, NNY), "L": slice(0, 1),
+                   "H": slice(NNY - 1, NNY)}[sy]
+            zsl = {"F": slice(0, NNZ), "L": slice(0, 1),
+                   "H": slice(NNZ - 1, NNZ)}[sz]
+            return xb, xs, ysl, zsl
+
+        def apply_sig(sig):
+            xb, xs, ysl, zsl = region(sig)
+            x0 = 0 if xb is None else xb
+            for c in range(3):
+                acc = None
+                for d in range(3):
+                    for (ox, oy, oz), m in tables[sig].items():
+                        a = float(m[c, d])
+                        if a == 0.0:
+                            continue
+                        win = shifted[(d, oy, oz)]
+                        sub = win[1 + ox + x0:1 + ox + x0 + xs, ysl, zsl]
+                        term = a * sub
+                        acc = term if acc is None else acc + term
+                f_ref[c, x0:x0 + xs, ysl, zsl] = acc
+
+        # Tier 0: interior table over the whole block. In the sharded case
+        # a non-edge device's planes 0 / SX-1 are genuinely interior (their
+        # ghosts carry the neighbor slab), so the F-x tiers below stay
+        # unconditional and only the global-face overwrites are predicated.
+        apply_sig(_INTERIOR)
+
+        # Tiers 1-3: faces, then edges, then corners (later tiers overwrite
+        # the rows where the previous tier's per-axis F assumption breaks).
+        for ncon in (1, 2, 3):
+            for sig in _SIGS:
+                if sig == _INTERIOR or sum(s != "F" for s in sig) != ncon:
+                    continue
+                sx = sig[0]
+                if sx == "L":
+                    @pl.when(jnp.logical_and(pid == 0, flags_ref[0] != 0))
+                    def _(sig=sig):
+                        apply_sig(sig)
+                elif sx == "H":
+                    @pl.when(jnp.logical_and(pid == nblocks - 1,
+                                             flags_ref[1] != 0))
+                    def _(sig=sig):
+                        apply_sig(sig)
+                else:
+                    apply_sig(sig)
 
     return kernel
 
 
-def interior_sweep(table: dict, up: jax.Array, BX: int = 8) -> jax.Array:
-    """Interior-table K·u over a ghost-padded window.
+def fused_sweep(tables: dict, up: jax.Array, is_low, is_high,
+                BX: int = 8) -> jax.Array:
+    """Exact assembled K·u over a ghost-padded slab in one Pallas call.
 
-    up: [3, SX+2, NNY+2, NNZ+2] -- the node grid with a 1-node ghost layer
+    up: [3, SX+2, NNY+2, NNZ+2] -- the node slab with a 1-node ghost layer
     on every side. Ghosts are zero for a whole grid; in the sharded path the
     x ghosts carry the neighbor slab's boundary plane instead.
-    Returns [3, SX, NNY, NNZ].
+    is_low / is_high: 0/1 scalars (python ints or traced) -- whether this
+    slab owns the global low / high x face. Returns [3, SX, NNY, NNZ].
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -165,108 +230,35 @@ def interior_sweep(table: dict, up: jax.Array, BX: int = 8) -> jax.Array:
     SX, NNY, NNZ = SXp - 2, NNYp - 2, NNZp - 2
     BX = min(BX, SX)
     nblocks = pl.cdiv(SX, BX)
-    kernel = _make_interior_kernel(table, BX, NNY, NNZ)
+    kernel = _make_fused_kernel(tables, BX, SX, NNY, NNZ, nblocks)
     interpret = jax.default_backend() != "tpu"
+    flags = jnp.stack([jnp.asarray(is_low, jnp.int32),
+                       jnp.asarray(is_high, jnp.int32)])
     return pl.pallas_call(
         kernel,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(
-            (pl.Element(3), pl.Element(BX + 2, (0, nblocks * BX - SX)),
-             pl.Element(NNY + 2), pl.Element(NNZ + 2)),
-            lambda i: (0, i * BX, 0, 0),
-            memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (pl.Element(3), pl.Element(BX + 2, (0, nblocks * BX - SX)),
+                 pl.Element(NNY + 2), pl.Element(NNZ + 2)),
+                lambda i: (0, i * BX, 0, 0),
+                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((3, BX, NNY, NNZ), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, SX, NNY, NNZ), up.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(up)
-
-
-def _apply_delta(dsig: dict, up: jax.Array, xs, xlen, ys, ylen, zs, zlen):
-    """Sum_{d,off} Delta[c,d][off] * up[d, region+off] -> [3,xlen,ylen,zlen].
-
-    Region coordinates are node-grid local; up carries the +1 ghost shift.
-    All reads stay inside up: offsets are +-1 and the ghost layer absorbs
-    out-of-region reach.
-    """
-    comps = []
-    for c in range(3):
-        acc = None
-        for (ox, oy, oz), m in dsig.items():
-            for d in range(3):
-                a = float(m[c, d])
-                if a == 0.0:
-                    continue
-                sub = up[d,
-                         1 + xs + ox:1 + xs + ox + xlen,
-                         1 + ys + oy:1 + ys + oy + ylen,
-                         1 + zs + oz:1 + zs + oz + zlen]
-                term = a * sub
-                acc = term if acc is None else acc + term
-        if acc is None:
-            acc = jnp.zeros((xlen, ylen, zlen), dtype=up.dtype)
-        comps.append(acc)
-    return jnp.stack(comps)
-
-
-def boundary_corrections(
-    deltas: dict,
-    up: jax.Array,
-    f: jax.Array,
-    is_low=None,
-    is_high=None,
-) -> jax.Array:
-    """Add the exact boundary corrections to the interior-sweep result.
-
-    up: ghost-padded window [3, SX+2, NNY+2, NNZ+2]; f: interior sweep
-    [3, SX, NNY, NNZ]. The 26 signature regions partition the grid boundary
-    (per axis: L = plane 0, H = plane NN-1, F = the strict interior range),
-    so each correction adds on a disjoint region.
-
-    is_low/is_high: None when this slab holds both global x faces (single
-    device) -- the x regions are then static slices. In the sharded x-slab
-    path they are 0/1 scalars (traced under shard_map) saying whether this
-    device owns the global low/high x face; the L/H x corrections are scaled
-    by them and the F-x region covers the whole local slab with its global
-    edge planes masked out.
-    """
-    _, SX, NNY, NNZ = f.shape
-    spmd = is_low is not None
-    y_region = {"L": (0, 1), "H": (NNY - 1, 1), "F": (1, NNY - 2)}
-    z_region = {"L": (0, 1), "H": (NNZ - 1, 1), "F": (1, NNZ - 2)}
-    for sig, dsig in deltas.items():
-        sx, sy, sz = sig
-        ys, ylen = y_region[sy]
-        zs, zlen = z_region[sz]
-        if spmd:
-            xs, xlen = {"L": (0, 1), "H": (SX - 1, 1), "F": (0, SX)}[sx]
-        else:
-            xs, xlen = {"L": (0, 1), "H": (SX - 1, 1), "F": (1, SX - 2)}[sx]
-        if xlen <= 0 or ylen <= 0 or zlen <= 0:
-            continue
-        corr = _apply_delta(dsig, up, xs, xlen, ys, ylen, zs, zlen)
-        if spmd:
-            if sx == "L":
-                corr = corr * is_low
-            elif sx == "H":
-                corr = corr * is_high
-            else:
-                ex = jnp.arange(SX)
-                mx = (1.0 - is_low * (ex == 0)
-                      - is_high * (ex == SX - 1)).astype(corr.dtype)
-                corr = corr * mx[None, :, None, None]
-        f = f.at[:, xs:xs + xlen, ys:ys + ylen, zs:zs + zlen].add(corr)
-    return f
+    )(flags, up)
 
 
 def _stencil_apply(tables: dict, deltas: dict, u: jax.Array,
                    BX: int = 8) -> jax.Array:
     """Exact assembled K·u on the whole node grid (single device)."""
+    del deltas  # device path is fully in-kernel; deltas serve apply_numpy
     up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (1, 1)))
-    f = interior_sweep(tables[_INTERIOR], up, BX=BX)
-    return boundary_corrections(deltas, up, f)
+    return fused_sweep(tables, up, 1, 1, BX=BX)
 
 
 def apply_numpy(tables: dict, deltas: dict, u: np.ndarray) -> np.ndarray:

@@ -9,12 +9,11 @@ halo a 27-point stencil needs is exactly one boundary plane per neighbor:
   * u out: each device ppermutes its first/last plane to its x neighbors
     (non-wrapping perms -- the absent source on the global edge devices
     yields zeros, which IS the stencil's ghost-layer convention);
-  * the interior Pallas sweep runs unchanged on the local slab with the
-    neighbor planes as its x ghost layer;
-  * boundary corrections: y/z faces are local to every slab; the global x
-    L/H face corrections are scaled by (axis_index == 0 / ndev-1) indicator
-    scalars so one SPMD program serves every device
-    (fem/stencil.boundary_corrections, spmd mode).
+  * the fused Pallas sweep (fem/stencil.fused_sweep) runs unchanged on the
+    local slab with the neighbor planes as its x ghost layer; the y/z
+    boundary tiers are local to every slab and run in-kernel, and the
+    global x L/H face tiers are predicated on (axis_index == 0 / ndev-1)
+    indicator flags so one SPMD program serves every device.
 
 This is the halo-exchange PCG of SURVEY.md section 5.7/5.8 on the fast
 operator (the reference's solve being parallelized is ALGLIB lincg,
@@ -97,11 +96,9 @@ def _local_apply(op_l: ShardedStencilOperator, u_local: jax.Array
     from_right = jax.lax.ppermute(um[:, :1], ax, bwd)
     u_ext = jnp.concatenate([from_left, um, from_right], axis=1)
     up = jnp.pad(u_ext, ((0, 0), (0, 0), (1, 1), (1, 1)))
-    f = stencil.interior_sweep(op_l.tables[stencil._INTERIOR], up)
-    is_low = (idx == 0).astype(um.dtype)
-    is_high = (idx == n - 1).astype(um.dtype)
-    f = stencil.boundary_corrections(op_l.deltas, up, f,
-                                     is_low=is_low, is_high=is_high)
+    is_low = (idx == 0).astype(jnp.int32)
+    is_high = (idx == n - 1).astype(jnp.int32)
+    f = stencil.fused_sweep(op_l.tables, up, is_low, is_high)
     return m * f + (1.0 - m) * u_local
 
 
