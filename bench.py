@@ -123,12 +123,17 @@ def main() -> int:
 
     refine_cycles = 0
     refine_iters = 0
+    refine_dt = 0.0
     if true_rel > 1e-6:
         # f32 recurrence alone did not certify 1e-6: mixed-precision
-        # refinement (f32 CG inner, f64 residual outer).
+        # refinement warm-started from the f32 solution, adaptive inner
+        # tolerance (each cycle solves the correction only as accurately
+        # as the remaining gap to tol requires).
+        t0 = time.perf_counter()
         rr = cg_mod.pcg_refined(
-            op.apply, b64, A_hi, diag=diag, tol=1e-6, inner_tol=1e-6,
-            maxiter=10 * ndof, ndof=ndof)
+            op.apply, b64, A_hi, diag=diag, tol=1e-6,
+            maxiter=10 * ndof, ndof=ndof, x0=x64)
+        refine_dt = time.perf_counter() - t0
         true_rel = rr.rel_residual
         refine_cycles = rr.cycles
         refine_iters = rr.inner_iters
@@ -152,6 +157,7 @@ def main() -> int:
             "converged": bool(res.converged),
             "refine_cycles": refine_cycles,
             "refine_inner_iters": refine_iters,
+            "refine_seconds": round(refine_dt, 3),
         },
         "baseline": f"scipy CSR Jacobi-CG on this host: {CPU_BASELINE_ITERS_PER_S} iters/s",
     }))

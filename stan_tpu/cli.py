@@ -78,12 +78,18 @@ def _cmd_solve(args) -> int:
     if model.analysis.type == "Linear_Statics":
         from stan_tpu.analysis.linear import solve_linear_statics
 
-        res = solve_linear_statics(model, timer=timer)
+        res = solve_linear_statics(model, timer=timer, n_domain=args.domain)
         ok = res.converged
         print(
             f"   Linear solve: {res.iters} iterations, "
             f"residual {res.residual:.3e}, converged={res.converged}"
         )
+        print(f"   Operator: {res.operator} "
+              f"({res.n_domain} device{'s' if res.n_domain != 1 else ''})")
+        if res.true_residual is not None:
+            print(f"   Certified f64 residual: {res.true_residual:.3e} "
+                  f"({res.refine_cycles} refinement cycles, "
+                  f"{res.refine_iters} extra CG iterations)")
     elif model.analysis.type == "Nonlinear_Statics":
         from stan_tpu.analysis.nonlinear import solve_nonlinear_statics
 
@@ -103,6 +109,10 @@ def _cmd_solve(args) -> int:
             iters=getattr(res, "iters", None),
             residual=getattr(res, "residual", None),
             converged=bool(ok), path=args.path, out=out,
+            operator=getattr(res, "operator", None),
+            n_domain=getattr(res, "n_domain", None),
+            true_residual=getattr(res, "true_residual", None),
+            refine_cycles=getattr(res, "refine_cycles", None),
         ))
     return 0 if ok else 1
 
@@ -406,6 +416,9 @@ def main(argv=None) -> int:
     p.add_argument("--type", choices=["Linear_Statics", "Nonlinear_Statics"])
     p.add_argument("--increments", type=int)
     p.add_argument("--out", help="write results here instead of overwriting")
+    p.add_argument("--domain", type=int, default=None,
+                   help="domain-decomposition width (devices); default: all "
+                        "visible devices for large meshes, 1 otherwise")
     p.add_argument("--config", help="TOML run config (utils/config.py)")
     p.add_argument("--log-json", help="append a structured run record here")
     p.set_defaults(fn=_cmd_solve)

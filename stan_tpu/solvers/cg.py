@@ -129,7 +129,7 @@ def pcg(
 
 class RefinedResult(NamedTuple):
     u: "object"          # np.ndarray float64 solution
-    cycles: int
+    cycles: int          # number of low-precision correction solves run
     rel_residual: float  # true ||b - A_hi u|| / ||b|| (float64)
     inner_iters: int     # total low-precision CG iterations
     converged: bool
@@ -142,11 +142,12 @@ def pcg_refined(
     *,
     diag=None,
     tol: float = 1.0e-6,
-    inner_tol: float = 1.0e-6,
+    inner_tol: Optional[float] = None,
     maxiter: int = 0,
     ndof: Optional[int] = None,
     max_cycles: int = 6,
     lo_dtype=jnp.float32,
+    x0=None,
 ) -> RefinedResult:
     """Mixed-precision iterative refinement: low-precision CG inner solves,
     float64 true-residual outer loop (SURVEY.md section 7.3 "fp64 on TPU":
@@ -159,12 +160,23 @@ def pcg_refined(
     floor as long as CG contracts the error at all (classic Wilkinson
     refinement); stops early once a cycle no longer reduces the residual.
 
+    Inner tolerance schedule: refinement only needs each correction solve to
+    shrink the residual to the *target*, not to machine precision -- cycle k
+    with current relative residual rel needs ||r - A d|| <~ tol*||b||, i.e.
+    an inner relative tolerance of ~tol/rel. Fixed tight inner tolerances
+    (the round-2 schedule) re-ran a full solve per cycle (3.2x overhead,
+    VERDICT.md weak item 2); the adaptive schedule below makes a
+    warm-started certification cost a fraction of the base solve.
+
     Args:
       A: low-precision device operator (same masked SPD convention as pcg).
       b_hi: float64 RHS (numpy or jax, any grid shape).
       A_hi: float64 operator, called on numpy arrays outside jit.
       tol: target true relative residual ||r||/||b||.
-      inner_tol: per-cycle relative tolerance of the low-precision CG.
+      inner_tol: per-cycle relative tolerance of the low-precision CG;
+        None (default) = adaptive clip(0.25*tol/rel, lo-dtype floor, 0.1).
+      x0: optional float64 warm start (e.g. the base low-precision solve's
+        solution) -- cycle 0 then only certifies/polishes it.
     """
     import numpy as np
 
@@ -172,28 +184,35 @@ def pcg_refined(
     bnorm = float(np.linalg.norm(b64.ravel()))
     if bnorm == 0.0:
         return RefinedResult(np.zeros_like(b64), 0, 0.0, 0, True)
+    # Below ~8 eps the lo-dtype recurrence cannot reliably reach its own
+    # stopping threshold (it would stall against rounding and run to
+    # maxiter), so the adaptive schedule never asks for less.
+    floor = float(8.0 * jnp.finfo(lo_dtype).eps)
 
-    inner = jax.jit(lambda r: pcg(
-        A, r, diag=diag, tol=inner_tol, maxiter=maxiter, ndof=ndof))
+    inner = jax.jit(lambda r, t: pcg(
+        A, r, diag=diag, tol=t, maxiter=maxiter, ndof=ndof))
 
-    x = np.zeros_like(b64)
+    x = np.zeros_like(b64) if x0 is None else np.array(x0, np.float64)
     total_iters = 0
     rel = np.inf
-    cycles = 0
-    for cycles in range(1, max_cycles + 1):
+    solves = 0
+    for _ in range(max_cycles + 1):
         r = b64 - np.asarray(A_hi(x), np.float64)
         new_rel = float(np.linalg.norm(r.ravel())) / bnorm
         if new_rel <= tol:
-            return RefinedResult(x, cycles - 1, new_rel, total_iters, True)
+            return RefinedResult(x, solves, new_rel, total_iters, True)
         if new_rel >= rel:  # stalled at the low-precision floor
-            return RefinedResult(x, cycles - 1, new_rel, total_iters, False)
+            return RefinedResult(x, solves, new_rel, total_iters, False)
         rel = new_rel
-        res = inner(jnp.asarray(r, dtype=lo_dtype))
+        if solves == max_cycles:
+            break
+        t = inner_tol if inner_tol is not None else min(
+            max(0.25 * tol / new_rel, floor), 0.1)
+        res = inner(jnp.asarray(r, dtype=lo_dtype), t)
         total_iters += int(res.iters)
+        solves += 1
         x = x + np.asarray(res.u, np.float64)
-    r = b64 - np.asarray(A_hi(x), np.float64)
-    new_rel = float(np.linalg.norm(r.ravel())) / bnorm
-    return RefinedResult(x, cycles, new_rel, total_iters, new_rel <= tol)
+    return RefinedResult(x, solves, rel, total_iters, rel <= tol)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
