@@ -98,13 +98,16 @@ def main() -> int:
     iters_per_s = niters / dt
 
     # ---- solve to the reference default tolerance 1e-6 (Analysis.cs:17) ----
+    # tol is traced so the refinement correction solves below reuse this
+    # exact executable (a fresh 1M-DOF while_loop compile costs ~30 s and
+    # was the bulk of round 2's reported refine_seconds).
     diag = op.diagonal()
-    solve = jax.jit(lambda b: cg_mod.pcg(
-        op.apply, b, diag=diag, tol=1e-6, maxiter=10 * ndof, ndof=ndof))
-    res0 = solve(rhs)
+    solve = jax.jit(lambda b, tol: cg_mod.pcg(
+        op.apply, b, diag=diag, tol=tol, maxiter=10 * ndof, ndof=ndof))
+    res0 = solve(rhs, 1e-6)
     int(res0.iters)  # warm sync
     t0 = time.perf_counter()
-    res = solve(rhs)
+    res = solve(rhs, 1e-6)
     tol_iters = int(res.iters)
     tol_dt = time.perf_counter() - t0
 
@@ -132,7 +135,8 @@ def main() -> int:
         t0 = time.perf_counter()
         rr = cg_mod.pcg_refined(
             op.apply, b64, A_hi, diag=diag, tol=1e-6,
-            maxiter=10 * ndof, ndof=ndof, x0=x64)
+            maxiter=10 * ndof, ndof=ndof, x0=x64,
+            inner_solve=lambda r, t: solve(jnp.asarray(r, op.dtype), t))
         refine_dt = time.perf_counter() - t0
         true_rel = rr.rel_residual
         refine_cycles = rr.cycles

@@ -56,26 +56,34 @@ class LinearResult:
     refine_iters: int = 0
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter"))
-def _solve_cg(op: StiffnessOperator, f: jax.Array, tol: float, maxiter: int):
-    rhs = op.free_mask * f
-    res = cg_mod.pcg(
+# tol is a TRACED argument (not static): the certification path re-invokes
+# the same executable with per-cycle inner tolerances, so the base solve and
+# every refinement correction share ONE compile (a fresh 1M-DOF while_loop
+# compile costs ~30 s, which round 2's bench mistook for refinement cost).
+@partial(jax.jit, static_argnames=("maxiter",))
+def _pcg_flat(op: StiffnessOperator, rhs: jax.Array, tol, maxiter: int):
+    return cg_mod.pcg(
         op.apply, rhs, diag=op.diagonal(), tol=tol, maxiter=maxiter,
         ndof=3 * op.nnode,
     )
-    return res
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter"))
-def _solve_cg_structured(sop, f: jax.Array, tol: float, maxiter: int):
-    """CG on the structured fast-path operator (grid layout throughout)."""
-    u_grid = sop.to_grid(f)
-    rhs = sop.free_mask * u_grid
-    ndof = int(np.prod(rhs.shape))
-    res = cg_mod.pcg(
+def _solve_cg(op: StiffnessOperator, f: jax.Array, tol, maxiter: int):
+    return _pcg_flat(op, op.free_mask * f, tol, maxiter)
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def _pcg_grid(sop, rhs: jax.Array, tol, maxiter: int):
+    """CG on a grid-layout fast-path operator (stencil/structured)."""
+    return cg_mod.pcg(
         sop.apply, rhs, diag=sop.diagonal(), tol=tol, maxiter=maxiter,
-        ndof=ndof,
+        ndof=int(np.prod(rhs.shape)),
     )
+
+
+def _solve_cg_structured(sop, f: jax.Array, tol, maxiter: int):
+    rhs = sop.free_mask * sop.to_grid(f)
+    res = _pcg_grid(sop, rhs, tol, maxiter)
     return res._replace(u=sop.to_flat(res.u))
 
 
@@ -272,18 +280,22 @@ def solve_linear_statics(
                     b64 = np.asarray(cert_op.free_mask, np.float64) * \
                         _to_grid(node_shape, np.asarray(loads, np.float64))
                     x0 = _to_grid(node_shape, u_np64)
-                    diag = cert_op.diagonal()
-                    apply_lo = cert_op.apply
+
+                    def inner_solve(r, t, _sop=cert_op):
+                        return _pcg_grid(_sop, jnp.asarray(r, dtype), t,
+                                         maxiter)
                 else:
                     b64 = (1.0 - np.asarray(fix, np.float64)) * np.asarray(
                         loads, np.float64)
                     x0 = u_np64
-                    diag = op.diagonal()
-                    apply_lo = op.apply
+
+                    def inner_solve(r, t, _op=op):
+                        return _pcg_flat(_op, jnp.asarray(r, dtype), t,
+                                         maxiter)
                 rr = _cg.pcg_refined(
-                    apply_lo, b64, A_hi, diag=diag, tol=tol,
+                    None, b64, A_hi, tol=tol,
                     maxiter=maxiter, ndof=3 * model.nnode, x0=x0,
-                    lo_dtype=dtype)
+                    lo_dtype=dtype, inner_solve=inner_solve)
                 true_residual = float(rr.rel_residual)
                 refine_cycles = int(rr.cycles)
                 refine_iters = int(rr.inner_iters)

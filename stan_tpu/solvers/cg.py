@@ -148,6 +148,7 @@ def pcg_refined(
     max_cycles: int = 6,
     lo_dtype=jnp.float32,
     x0=None,
+    inner_solve=None,
 ) -> RefinedResult:
     """Mixed-precision iterative refinement: low-precision CG inner solves,
     float64 true-residual outer loop (SURVEY.md section 7.3 "fp64 on TPU":
@@ -177,6 +178,11 @@ def pcg_refined(
         None (default) = adaptive clip(0.25*tol/rel, lo-dtype floor, 0.1).
       x0: optional float64 warm start (e.g. the base low-precision solve's
         solution) -- cycle 0 then only certifies/polishes it.
+      inner_solve: optional pre-compiled (r_lo, tol) -> CGResult used for
+        the correction solves. Pass the SAME jitted function that ran the
+        base solve (with tol as a traced argument) so refinement reuses its
+        executable -- a fresh jit of a 1M-DOF while_loop costs ~30 s of
+        compile, dwarfing the actual correction iterations.
     """
     import numpy as np
 
@@ -189,8 +195,8 @@ def pcg_refined(
     # maxiter), so the adaptive schedule never asks for less.
     floor = float(8.0 * jnp.finfo(lo_dtype).eps)
 
-    inner = jax.jit(lambda r, t: pcg(
-        A, r, diag=diag, tol=t, maxiter=maxiter, ndof=ndof))
+    inner = inner_solve if inner_solve is not None else jax.jit(
+        lambda r, t: pcg(A, r, diag=diag, tol=t, maxiter=maxiter, ndof=ndof))
 
     x = np.zeros_like(b64) if x0 is None else np.array(x0, np.float64)
     total_iters = 0
@@ -206,8 +212,11 @@ def pcg_refined(
         rel = new_rel
         if solves == max_cycles:
             break
+        # Aim well past tol (0.05x) so one correction normally certifies:
+        # the extra ~1 residual decade costs ~90 inner iterations, far less
+        # than another float64 host sweep + cycle.
         t = inner_tol if inner_tol is not None else min(
-            max(0.25 * tol / new_rel, floor), 0.1)
+            max(0.05 * tol / new_rel, floor), 0.1)
         res = inner(jnp.asarray(r, dtype=lo_dtype), t)
         total_iters += int(res.iters)
         solves += 1
