@@ -249,10 +249,14 @@ def serialize(model: FEModel) -> bytes:
     protobuf leaves unspecified) but without the per-double Python loops: the
     node/element payload is vectorized through io/wire.py, so a 1M-node model
     serializes in seconds instead of minutes (VERDICT r2 weak item 5).
-    Canonical form: fields in number order, map entries ascending by key,
-    repeated scalars unpacked — protobuf-net's proto2-style layout
-    (MatrixST.cs:14-19, Database.cs:12-21); the hand-encoded golden fixture
-    in tests/test_io.py pins these bytes exactly.
+    Layout: fields in number order, repeated scalars unpacked —
+    protobuf-net's proto2-style layout (MatrixST.cs:14-19,
+    Database.cs:12-21); the hand-encoded golden fixture in tests/test_io.py
+    pins these bytes exactly. Map entries are emitted in *model storage
+    order* (node_ids/elem_ids as stored, which for .bdf/meshgen models is
+    ascending); models whose id arrays are unsorted serialize to the same
+    parse-equivalent message but not to byte-canonical ascending-key order
+    (sorting here would desync the storage-index-keyed elist/dof streams).
     """
     from stan_tpu.io import wire
 

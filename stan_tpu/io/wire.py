@@ -211,6 +211,7 @@ def concat_rows(streams: list[tuple[np.ndarray, np.ndarray]]
 def length_headers(field: int, body_len: np.ndarray
                    ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row length-delimited header ``tag + varint(len)`` as a stream."""
+    assert field < 16  # single-byte tag (same guard as the other streams)
     groups, keep, ll = _varint_groups(body_len)
     n = len(ll)
     rec = np.empty((n, groups.shape[1] + 1), dtype=np.uint8)
