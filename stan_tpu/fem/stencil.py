@@ -261,6 +261,45 @@ def _stencil_apply(tables: dict, deltas: dict, u: jax.Array,
     return fused_sweep(tables, up, 1, 1, BX=BX)
 
 
+def _stencil_apply_jnp(tables: dict, deltas: dict, u: jax.Array) -> jax.Array:
+    """Exact assembled K·u as plain jnp shifted-slice FMAs (no Pallas).
+
+    Same table/region semantics as apply_numpy, traced instead of executed
+    host-side. Used where the Pallas kernel is unavailable or slow: the CPU
+    backend (interpret-mode Pallas is ~1000x slower than compiled XLA for
+    this kernel shape, which matters for the CPU-mesh test suite and any
+    non-TPU deployment). On TPU the fused kernel wins (it streams u through
+    VMEM once; this form re-reads u per delta region).
+    """
+    _, NNX, NNY, NNZ = u.shape
+    up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (1, 1)))
+
+    def region_apply(table, xs, xlen, ys, ylen, zs, zlen):
+        out = None
+        for (ox, oy, oz), m in table.items():
+            sub = up[:,
+                     1 + xs + ox:1 + xs + ox + xlen,
+                     1 + ys + oy:1 + ys + oy + ylen,
+                     1 + zs + oz:1 + zs + oz + zlen]
+            term = jnp.einsum("cd,dxyz->cxyz", jnp.asarray(m, u.dtype), sub)
+            out = term if out is None else out + term
+        return out
+
+    f = region_apply(tables[_INTERIOR], 0, NNX, 0, NNY, 0, NNZ)
+    x_region = {"L": (0, 1), "H": (NNX - 1, 1), "F": (1, NNX - 2)}
+    y_region = {"L": (0, 1), "H": (NNY - 1, 1), "F": (1, NNY - 2)}
+    z_region = {"L": (0, 1), "H": (NNZ - 1, 1), "F": (1, NNZ - 2)}
+    for sig, dsig in deltas.items():
+        xs, xlen = x_region[sig[0]]
+        ys, ylen = y_region[sig[1]]
+        zs, zlen = z_region[sig[2]]
+        if xlen <= 0 or ylen <= 0 or zlen <= 0:
+            continue
+        f = f.at[:, xs:xs + xlen, ys:ys + ylen, zs:zs + zlen].add(
+            region_apply(dsig, xs, xlen, ys, ylen, zs, zlen))
+    return f
+
+
 def apply_numpy(tables: dict, deltas: dict, u: np.ndarray) -> np.ndarray:
     """Host-side float64 K·u: the independent reference for the device sweep
     and the high-precision residual operator for iterative refinement
@@ -360,6 +399,66 @@ def build_stencil_operator(model: FEModel, dtype=None
     tables = signature_tables(ke)
     return StencilOperator(base=base, tables=tables,
                            deltas=delta_tables(tables))
+
+
+# ---------------------------------------------------------------------------
+# stencil_sweep primitive: the assembled K·u as a differentiable JAX op
+# ---------------------------------------------------------------------------
+# The Pallas sweep has no autodiff/batching rules of its own, but the
+# assembled operator is linear and symmetric (ke is symmetric, so is its
+# assembly), so wrapping it as a primitive with
+#   * jvp       = sweep of the tangent        (deflinear2)
+#   * transpose = sweep of the cotangent      (self-adjoint)
+#   * batching  = lax.map over the batch axis (each sweep saturates a chip,
+#                 so sequencing chains is the right TPU schedule anyway)
+# lets the theta-dependent inference forward model
+# (infer/forward.StencilForwardProblem) run vmapped HMC-chain gradients
+# through the stencil fast path instead of the ~100x-slower general gather
+# operator. Lowering dispatches per backend: the fused Pallas kernel on TPU,
+# the jnp shifted-slice form elsewhere.
+
+from jax.extend.core import Primitive as _Primitive  # noqa: E402
+from jax.interpreters import ad as _ad  # noqa: E402
+from jax.interpreters import batching as _batching  # noqa: E402
+from jax.interpreters import mlir as _mlir  # noqa: E402
+
+_sweep_p = _Primitive("stan_stencil_sweep")
+
+
+def _sweep_bind(u, frozen):
+    return _sweep_p.bind(u, frozen=frozen)
+
+
+def _sweep_eval(u, *, frozen):
+    tables = _thaw_tables(frozen)
+    deltas = delta_tables(tables)
+    if jax.default_backend() == "tpu":
+        return _stencil_apply(tables, deltas, u)
+    return _stencil_apply_jnp(tables, deltas, u)
+
+
+def _sweep_abstract(u, *, frozen):
+    return u
+
+
+def _sweep_batch(args, dims, *, frozen):
+    (u,), (d,) = args, dims
+    u = jnp.moveaxis(u, d, 0)
+    return jax.lax.map(lambda x: _sweep_bind(x, frozen), u), 0
+
+
+_sweep_p.def_impl(lambda u, *, frozen: _sweep_eval(u, frozen=frozen))
+_sweep_p.def_abstract_eval(_sweep_abstract)
+_mlir.register_lowering(
+    _sweep_p, _mlir.lower_fun(_sweep_eval, multiple_results=False))
+_ad.deflinear2(_sweep_p, lambda ct, u, *, frozen: (_sweep_bind(ct, frozen),))
+_batching.primitive_batchers[_sweep_p] = _sweep_batch
+
+
+def linear_sweep_fn(frozen_tables):
+    """Self-adjoint linear u -> K·u (raw, unmasked) from frozen tables, as a
+    jit/grad/vmap-composable function of u (see _sweep_p above)."""
+    return lambda u: _sweep_bind(u, frozen_tables)
 
 
 def exact_tables(model: FEModel):

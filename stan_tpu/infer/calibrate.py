@@ -28,7 +28,7 @@ from stan_tpu.infer import forward as fwd_mod
 
 @dataclasses.dataclass
 class CalibrationProblem:
-    fwd: fwd_mod.ForwardProblem
+    fwd: object  # ForwardProblem or StencilForwardProblem (forward.py)
     nelem: int
     obs_idx: np.ndarray  # [n_obs, 2] (node, dir) indices
     y: jax.Array  # [n_obs] observations
@@ -87,9 +87,11 @@ def make_problem(
     dtype=None,
     cg_tol: float = 1.0e-8,
     infer_load: bool = False,
+    prefer_stencil: bool = True,
     **prior_kwargs,
 ) -> CalibrationProblem:
-    fwd = fwd_mod.build_forward(model, dtype=dtype, cg_tol=cg_tol)
+    fwd = fwd_mod.build_forward(model, dtype=dtype, cg_tol=cg_tol,
+                                prefer_stencil=prefer_stencil)
     obs_idx = np.stack(
         [np.asarray(obs_nodes, np.int64), np.asarray(obs_dirs, np.int64)],
         axis=1,
@@ -98,7 +100,7 @@ def make_problem(
         fwd=fwd,
         nelem=model.nelem,
         obs_idx=obs_idx,
-        y=jnp.asarray(y, dtype=fwd.op0.dtype),
+        y=jnp.asarray(y, dtype=fwd.dtype),
         sigma_obs=float(sigma_obs),
         infer_load=infer_load,
         **prior_kwargs,
