@@ -142,6 +142,18 @@ def main() -> int:
         refine_cycles = rr.cycles
         refine_iters = rr.inner_iters
 
+    # ---- HMC samples/s/chip (BASELINE.json second metric) ----------------
+    # Calibration of (E, nu) against synthetic displacement observations on
+    # a 32^3 structured mesh, stencil fast-path forward model
+    # (infer/forward.StencilForwardProblem), 1 chain on this chip. Chunked
+    # sampling: the first chunk absorbs jit compile, steady-state samples/s
+    # comes from the later chunks (hmc.HMCResult.chunk_seconds).
+    hmc_stats = None
+    try:
+        hmc_stats = _hmc_bench(8 if small else 32)
+    except Exception as e:  # never let the inference bench kill the CG line
+        hmc_stats = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps({
         "metric": f"cg_iters_per_s_{ndof}dof_hex8_f32",
         "value": round(iters_per_s, 2),
@@ -164,8 +176,77 @@ def main() -> int:
             "refine_seconds": round(refine_dt, 3),
         },
         "baseline": f"scipy CSR Jacobi-CG on this host: {CPU_BASELINE_ITERS_PER_S} iters/s",
+        "hmc": hmc_stats,
     }))
     return 0
+
+
+def _hmc_bench(g: int) -> dict:
+    """HMC samples/s/chip on a g^3-element FEM calibration (stencil forward).
+
+    Returns steady-state samples/s (later chunks only; chunk 0 carries the
+    jit compile), evals_per_sample, and the posterior-mean sanity check.
+    The recorded chains-scaling proxy is re-measured by
+    tools/chains_scaling.py on the 8-device virtual CPU mesh.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from stan_tpu.core import meshgen
+    from stan_tpu.infer import calibrate, forward, hmc
+
+    model = meshgen.hex_beam(g, g, g)
+    true_theta = np.array([np.log(190000.0), 0.28, 0.0])
+    fwd = forward.build_forward(model, cg_tol=1e-6)
+    assert isinstance(fwd, forward.StencilForwardProblem)
+    u_true = np.asarray(
+        forward.displacement_fn(fwd, model.nelem)(jnp.asarray(true_theta)))
+    total = np.linalg.norm(u_true, axis=1)
+    nodes = np.nonzero(total > 0.3 * total.max())[0][:128]
+    obs_nodes = np.repeat(nodes, 3)
+    obs_dirs = np.tile([0, 1, 2], len(nodes))
+    rng = np.random.default_rng(0)
+    sigma = 1e-4 * float(np.abs(u_true).max())
+    y = u_true[obs_nodes, obs_dirs] + sigma * rng.normal(size=len(obs_nodes))
+    prob = calibrate.make_problem(model, obs_nodes, obs_dirs, y, sigma,
+                                  cg_tol=1e-6)
+
+    n_leapfrog = 8
+    n_samples, chunk = 30, 10
+    theta0 = jnp.asarray([[np.log(210000.0), 0.0, 0.0]])
+    res = hmc.run_hmc(
+        prob.log_posterior, theta0, jax.random.PRNGKey(11),
+        n_samples=n_samples, n_warmup=16, n_leapfrog=n_leapfrog,
+        init_step=0.02, checkpoint_every=chunk,
+    )
+    steady_s = sum(res.chunk_seconds[1:])
+    steady_n = sum(res.chunk_sizes[1:])
+    sps = steady_n / steady_s if steady_s > 0 else 0.0
+    cons = calibrate.CalibrationProblem.constrain(res.samples)
+    return {
+        "metric": f"hmc_samples_per_s_chip_{g}cubed_fem_calibration",
+        "samples_per_s_chip": round(sps, 3),
+        "ndof": int(3 * model.nnode),
+        "n_chains": 1,
+        "n_leapfrog": n_leapfrog,
+        "evals_per_sample": float(np.mean(res.evals_per_sample)),
+        "grad_seconds_per_eval": round(
+            steady_s / (steady_n * n_leapfrog), 4),
+        "accept_rate": float(np.mean(res.accept_rate)),
+        "warmup_seconds": round(res.warmup_seconds, 2),
+        "posterior_E_mean": float(cons[..., 0].mean()),
+        "posterior_nu_mean": float(cons[..., 1].mean()),
+        "truth": {"E": 190000.0, "nu": 0.28},
+        "chains_scaling_cpu_mesh_recorded": {
+            # tools/chains_scaling.py, 8-device virtual CPU mesh, 2026-08-20:
+            # raw efficiency limited by 8 virtual devices sharing 2 physical
+            # cores; sharded-vs-vmap ~0.99 shows NamedSharding placement
+            # itself costs ~1%.
+            "scaling_efficiency": 0.771,
+            "sharded_vs_vmap": 0.987,
+        },
+    }
 
 
 if __name__ == "__main__":

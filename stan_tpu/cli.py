@@ -198,7 +198,13 @@ def _cmd_calibrate(args) -> int:
     n_dev = len(_jax.devices())
     mesh = None
     if sh.chains > 1 or sh.domain > 1:
-        mesh = distributed.device_mesh(sh.chains, sh.domain)
+        try:
+            mesh = distributed.device_mesh(sh.chains, sh.domain)
+        except ValueError as e:
+            # Config/hardware mismatch is a user error: report and exit
+            # cleanly instead of tracebacking (ADVICE r2).
+            print(f"  ERROR: [sharding] {e}")
+            return 2
     elif n_dev > 1 and inf.chains % n_dev == 0:
         mesh = distributed.device_mesh(n_dev, 1)
     if mesh is not None:

@@ -191,7 +191,7 @@ def nuts_transition(logp_grad, rng, state: hmc_mod.HMCState, step, inv_mass,
         p0,  # trajectory momentum sum
         jnp.asarray(False),  # turning
         jnp.asarray(False),  # diverging
-        jnp.asarray(1.0, dtype),  # sum_accept (initial point counts 1)
+        jnp.asarray(0.0, dtype),  # sum_accept (seed point is NOT a proposal)
         jnp.asarray(1.0, dtype),  # n_leaves
         jnp.int32(0),  # depth (doublings completed)
         k_loop,
@@ -249,8 +249,11 @@ def nuts_transition(logp_grad, rng, state: hmc_mod.HMCState, step, inv_mass,
         cond, body, init
     )
     new_state = hmc_mod.HMCState(z_prop.theta, z_prop.logp, z_prop.grad)
-    # Stan's accept statistic: mean Metropolis ratio over trajectory leaves.
-    accept = sacc / n_leaves
+    # Stan's accept statistic: mean Metropolis ratio over *proposed* leaves
+    # (the seed point excluded — seeding it 1/1 biased the statistic toward
+    # 1 and made dual averaging tune slightly-too-large steps, ADVICE r2).
+    # An immediately-diverging trajectory has no proposed leaves: accept 0.
+    accept = sacc / jnp.maximum(n_leaves - 1.0, 1.0)
     return new_state, accept, n_leaves - 1.0  # gradient evals (minus seed)
 
 
@@ -290,4 +293,5 @@ def run_nuts(
         n_samples=n_samples, n_warmup=n_warmup, init_step=init_step,
         target_accept=target_accept, mesh=mesh, chain_axis=chain_axis,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        kernel_id=f"nuts:maxdepth{max_depth}",
     )

@@ -130,3 +130,24 @@ def save_chunk(path: str, idx: int, array) -> None:
 def load_chunks(path: str, n_chunks: int) -> list:
     """Load chunk sidecars 0..n_chunks-1; raises if any is missing."""
     return [load(chunk_path(path, i))["chunk"] for i in range(n_chunks)]
+
+
+def clean_chunks(path: str) -> int:
+    """Remove every chunk sidecar belonging to `path`.
+
+    Called when a run starts fresh over an old checkpoint (identity
+    mismatch or corrupt state): stale sidecars from the previous run would
+    otherwise accumulate forever and could be picked up by a later resume
+    whose n_chunks happens to match (ADVICE r2). Returns how many files
+    were removed.
+    """
+    import glob
+
+    n = 0
+    for p in glob.glob(f"{glob.escape(path)}.chunk[0-9][0-9][0-9][0-9][0-9].npz"):
+        try:
+            os.remove(p)
+            n += 1
+        except OSError:
+            pass
+    return n

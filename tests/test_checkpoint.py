@@ -125,6 +125,67 @@ def test_nuts_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(resumed.samples, full.samples, atol=1e-12)
 
 
+def test_checkpoint_kernel_identity_guard(tmp_path):
+    """A NUTS checkpoint must NOT resume an HMC run (and vice versa): the
+    run-identity fields (kernel, n_warmup, chains, dim) gate resume, and a
+    fresh start cleans the stale chunk sidecars (ADVICE r2)."""
+    import os
+
+    from stan_tpu.infer import hmc, nuts
+
+    def logp(th):
+        return -0.5 * jnp.sum(th**2)
+
+    path = str(tmp_path / "ck.npz")
+    theta0 = jnp.zeros((2, 2))
+    nuts.run_nuts(logp, theta0, jax.random.PRNGKey(3), n_samples=40,
+                  n_warmup=20, max_depth=3, checkpoint_path=path,
+                  checkpoint_every=20)
+    assert os.path.exists(ckpt.chunk_path(path, 1))
+    state = ckpt.load(path)
+    assert state["kernel"].startswith("nuts")
+
+    # HMC over the same path: identity mismatch -> fresh run, fresh warmup,
+    # chunk sidecars rewritten (the NUTS ones deleted first), and the
+    # result matches an HMC run that never saw the stale checkpoint.
+    res = hmc.run_hmc(logp, theta0, jax.random.PRNGKey(4), n_samples=30,
+                      n_warmup=20, n_leapfrog=4, checkpoint_path=path,
+                      checkpoint_every=30)
+    clean = hmc.run_hmc(logp, theta0, jax.random.PRNGKey(4), n_samples=30,
+                        n_warmup=20, n_leapfrog=4)
+    np.testing.assert_allclose(res.samples, clean.samples, atol=1e-12)
+    state = ckpt.load(path)
+    assert state["kernel"] == "hmc:leapfrog4"
+    # 30 draws in one chunk: sidecar 0 exists, stale NUTS sidecar 1 removed.
+    assert os.path.exists(ckpt.chunk_path(path, 0))
+    assert not os.path.exists(ckpt.chunk_path(path, 1))
+
+
+def test_final_chunk_padding_no_retrace(tmp_path):
+    """n_samples not divisible by the chunk size must not retrace the chunk
+    scan with a new static length (VERDICT r3 weak item 4): the final chunk
+    runs full-length and is truncated, and draws equal an undivided run."""
+    from stan_tpu.infer import hmc
+
+    def logp(th):
+        return -0.5 * jnp.sum(th**2)
+
+    theta0 = jnp.zeros((2, 2))
+    key = jax.random.PRNGKey(5)
+    kwargs = dict(n_warmup=20, n_leapfrog=4)
+    ragged = hmc.run_hmc(logp, theta0, key, n_samples=25,
+                         checkpoint_every=10, **kwargs)
+    assert ragged.samples.shape == (2, 25, 2)
+    assert ragged.chunk_sizes == [10, 10, 5]
+    # Same schedule, exact-multiple run: the shared prefix must agree (the
+    # key schedule is a pure function of (rng, done), independent of
+    # truncation).
+    exact = hmc.run_hmc(logp, theta0, key, n_samples=30,
+                        checkpoint_every=10, **kwargs)
+    np.testing.assert_allclose(ragged.samples, exact.samples[:, :25],
+                               atol=1e-12)
+
+
 def test_hmc_checkpoint_missing_chunk_restarts(tmp_path):
     """A checkpoint whose chunk sidecar vanished is treated as absent."""
     import os
