@@ -34,6 +34,12 @@ from stan_tpu.solvers import direct
 from stan_tpu.utils.timing import PhaseTimer
 
 
+# Above this DOF count a materialized [ndof, ndof] K stops being cheap
+# (f64 dense at 6k DOF is ~0.3 GB) and the direct path switches to the
+# banded skyline-equivalent solver (solvers/banded.py).
+_DENSE_DIRECT_MAX_DOF = 6000
+
+
 @dataclasses.dataclass
 class LinearResult:
     u: np.ndarray  # [nnode, 3] displacements
@@ -304,17 +310,46 @@ def solve_linear_statics(
             timer.records[-1]["refine_iters"] = refine_iters
         u = jnp.asarray(u_np64, dtype=dtype)
     elif solver in ("Cholesky", "LU"):
-        with timer.phase(f"Assembly (dense)"):
-            K = assembly.assemble_dense(
-                model.coords, model.conn, model.elem_d_matrices(), form,
-                fix_mask=fix, dtype=dtype,
-            )
-        with timer.phase(f"Linear solve ({solver})"):
-            rhs = (op.free_mask * f).reshape(-1)
-            solve = direct.solve_cholesky if solver == "Cholesky" else direct.solve_lu
-            u = solve(K, rhs).reshape(model.nnode, 3)
-            iters, residual, converged = 1, 0.0, True
-            operator_name = f"dense-{solver.lower()}"
+        # Size dispatch: dense XLA factorization (MXU) while [ndof, ndof]
+        # is cheap, else the banded skyline-equivalent host path
+        # (solvers/banded.py) — the O(ndof*hbw) storage regime where the
+        # reference's ALGLIB SKS Cholesky lives (SolverFunctions.cs:332-444).
+        ndof = 3 * model.nnode
+        if ndof > _DENSE_DIRECT_MAX_DOF:
+            from stan_tpu.solvers import banded
+
+            with timer.phase(f"Linear solve (banded {solver})"):
+                solve_b = (banded.solve_banded_cholesky if solver == "Cholesky"
+                           else banded.solve_banded_lu)
+                u_np64 = solve_b(model, loads)
+                u = jnp.asarray(u_np64, dtype=dtype)
+                iters, residual, converged = 1, 0.0, True
+                operator_name = f"banded-{solver.lower()}"
+                # The banded factorization is float64 host LAPACK: its
+                # residual IS the float64 truth, record it.
+                if certify:
+                    from stan_tpu.fem import hostops
+
+                    A_hi = hostops.masked_f64_apply(model, op)
+                    b64 = (1.0 - np.asarray(fix, np.float64)) * np.asarray(
+                        loads, np.float64)
+                    r64 = b64 - A_hi(u_np64)
+                    bn = np.linalg.norm(b64.ravel())
+                    true_residual = float(
+                        np.linalg.norm(r64.ravel()) / max(bn, 1e-300))
+        else:
+            with timer.phase("Assembly (dense)"):
+                K = assembly.assemble_dense(
+                    model.coords, model.conn, model.elem_d_matrices(), form,
+                    fix_mask=fix, dtype=dtype,
+                )
+            with timer.phase(f"Linear solve ({solver})"):
+                rhs = (op.free_mask * f).reshape(-1)
+                solve = (direct.solve_cholesky if solver == "Cholesky"
+                         else direct.solve_lu)
+                u = solve(K, rhs).reshape(model.nnode, 3)
+                iters, residual, converged = 1, 0.0, True
+                operator_name = f"dense-{solver.lower()}"
     else:
         raise ValueError(f"Unknown linear solver {solver!r}")
 

@@ -161,10 +161,12 @@ class FEModel:
     def formulation(self) -> element_lib.ElementFormulation:
         """Return the single formulation shared by all elements.
 
-        The batched kernels require a uniform element block; mixed meshes are
-        split into per-formulation blocks by the caller (see
-        analysis/linear.py). The reference is HEX8-only at import anyway
-        (Database.cs:44-48).
+        The batched kernels require a uniform element block; mixed meshes
+        are refused at ingest with a named reason (core/validate.check_model
+        — per-family block splitting is not implemented). The reference is
+        HEX8-only at import anyway (Database.cs:44-48); this raise is the
+        last-resort guard for models built outside the validated ingest
+        path.
         """
         kinds = set(self.elem_type)
         if len(kinds) != 1:

@@ -7,11 +7,11 @@ independent float64 action of the same assembled K. This module provides
 that action for each operator family, entirely in numpy on host:
 
   * element_stiffness_np: float64 batched ke, the host twin of
-    fem/kernels.element_stiffness (same B-matrix layout, Element.cs:118-155),
+    fem/kernels.element_stiffness (same B-matrix layout, Element.cs:118-155)
+    — also the stiffness source for the banded skyline-equivalent direct
+    solver (solvers/banded.py),
   * general_apply_np: matvec through per-element ke + np.add.at scatter,
-  * structured_apply_np: the StructuredOperator slice-gather/scatter path,
-  * banded assembly helpers for the skyline-equivalent direct solver
-    (solvers/banded.py).
+  * structured_apply_np: the StructuredOperator slice-gather/scatter path.
 
 These are correctness/certification paths, not hot paths: one call costs a
 few host-seconds at 1M DOF and runs O(1) times per solve (iterative

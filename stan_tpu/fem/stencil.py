@@ -197,6 +197,8 @@ def _make_fused_kernel(tables: dict, BX: int, SX: int, NNY: int, NNZ: int,
             for sig in _SIGS:
                 if sig == _INTERIOR or sum(s != "F" for s in sig) != ncon:
                     continue
+                if not tables.get(sig):
+                    continue  # degenerate/experimental table sets
                 sx = sig[0]
                 if sx == "L":
                     @pl.when(jnp.logical_and(pid == 0, flags_ref[0] != 0))
@@ -261,43 +263,73 @@ def _stencil_apply(tables: dict, deltas: dict, u: jax.Array,
     return fused_sweep(tables, up, 1, 1, BX=BX)
 
 
-def _stencil_apply_jnp(tables: dict, deltas: dict, u: jax.Array) -> jax.Array:
-    """Exact assembled K·u as plain jnp shifted-slice FMAs (no Pallas).
+def _delta_corrections(deltas: dict, up: jax.Array) -> jax.Array:
+    """Additive boundary corrections Sum_sig Delta_sig·u as ONE fused pass.
 
-    Same table/region semantics as apply_numpy, traced instead of executed
-    host-side. Used where the Pallas kernel is unavailable or slow: the CPU
-    backend (interpret-mode Pallas is ~1000x slower than compiled XLA for
-    this kernel shape, which matters for the CPU-mesh test suite and any
-    non-TPU deployment). On TPU the fused kernel wins (it streams u through
-    VMEM once; this form re-reads u per delta region).
-    """
-    _, NNX, NNY, NNZ = u.shape
-    up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (1, 1)))
-
-    def region_apply(table, xs, xlen, ys, ylen, zs, zlen):
-        out = None
-        for (ox, oy, oz), m in table.items():
-            sub = up[:,
-                     1 + xs + ox:1 + xs + ox + xlen,
-                     1 + ys + oy:1 + ys + oy + ylen,
-                     1 + zs + oz:1 + zs + oz + zlen]
-            term = jnp.einsum("cd,dxyz->cxyz", jnp.asarray(m, u.dtype), sub)
-            out = term if out is None else out + term
-        return out
-
-    f = region_apply(tables[_INTERIOR], 0, NNX, 0, NNY, 0, NNZ)
+    up: ghost-padded [3, NNX+2, NNY+2, NNZ+2]. The 26 signature regions are
+    pairwise disjoint boxes, each correction is computed on its own small
+    region and zero-padded into the full grid; all terms are independent,
+    so XLA fuses the pad-sum into one output pass (no serialized
+    whole-buffer .at[].add chain — that dataflow barrier is what halved
+    round 2's throughput)."""
+    _, NNXp, NNYp, NNZp = up.shape
+    NNX, NNY, NNZ = NNXp - 2, NNYp - 2, NNZp - 2
     x_region = {"L": (0, 1), "H": (NNX - 1, 1), "F": (1, NNX - 2)}
     y_region = {"L": (0, 1), "H": (NNY - 1, 1), "F": (1, NNY - 2)}
     z_region = {"L": (0, 1), "H": (NNZ - 1, 1), "F": (1, NNZ - 2)}
+
+    total = None
     for sig, dsig in deltas.items():
         xs, xlen = x_region[sig[0]]
         ys, ylen = y_region[sig[1]]
         zs, zlen = z_region[sig[2]]
         if xlen <= 0 or ylen <= 0 or zlen <= 0:
             continue
-        f = f.at[:, xs:xs + xlen, ys:ys + ylen, zs:zs + zlen].add(
-            region_apply(dsig, xs, xlen, ys, ylen, zs, zlen))
-    return f
+        out = None
+        for (ox, oy, oz), m in dsig.items():
+            sub = up[:,
+                     1 + xs + ox:1 + xs + ox + xlen,
+                     1 + ys + oy:1 + ys + oy + ylen,
+                     1 + zs + oz:1 + zs + oz + zlen]
+            # HIGHEST keeps the 3x3 block contraction off the bf16 MXU
+            # path (default TPU einsum precision costs ~3e-3 relative).
+            term = jnp.einsum("cd,dxyz->cxyz", jnp.asarray(m, up.dtype), sub,
+                              precision=jax.lax.Precision.HIGHEST)
+            out = term if out is None else out + term
+        pad = ((0, 0), (xs, NNX - xs - xlen), (ys, NNY - ys - ylen),
+               (zs, NNZ - zs - zlen))
+        term = jnp.pad(out, pad)
+        total = term if total is None else total + term
+    if total is None:
+        total = jnp.zeros((3, NNX, NNY, NNZ), up.dtype)
+    return total
+
+
+def _stencil_apply_jnp(tables: dict, deltas: dict, u: jax.Array) -> jax.Array:
+    """Exact assembled K·u as plain jnp shifted-slice FMAs (no Pallas).
+
+    Same table/region semantics as apply_numpy, traced instead of executed
+    host-side: the interior table applied everywhere plus the additive
+    boundary-delta pass (_delta_corrections, a fused pad-sum over disjoint
+    regions — no serialized .at[].add chain). Used where the Pallas kernel
+    is unavailable or slow: the CPU backend (interpret-mode Pallas is
+    ~1000x slower than compiled XLA for this kernel shape, which matters
+    for the CPU-mesh test suite and any non-TPU deployment). On TPU the
+    fused tiered kernel wins — measured 0.25 ms vs 0.37+ ms marginal
+    per 1M-DOF apply for every XLA-side variant tried (flattened-lane
+    Pallas interior + XLA deltas; full-jnp form).
+    """
+    _, NNX, NNY, NNZ = u.shape
+    up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (1, 1)))
+
+    out = None
+    for (ox, oy, oz), m in tables[_INTERIOR].items():
+        sub = up[:, 1 + ox:1 + ox + NNX, 1 + oy:1 + oy + NNY,
+                 1 + oz:1 + oz + NNZ]
+        term = jnp.einsum("cd,dxyz->cxyz", jnp.asarray(m, u.dtype), sub,
+                          precision=jax.lax.Precision.HIGHEST)
+        out = term if out is None else out + term
+    return out + _delta_corrections(deltas, up)
 
 
 def apply_numpy(tables: dict, deltas: dict, u: np.ndarray) -> np.ndarray:
@@ -444,7 +476,16 @@ def _sweep_abstract(u, *, frozen):
 def _sweep_batch(args, dims, *, frozen):
     (u,), (d,) = args, dims
     u = jnp.moveaxis(u, d, 0)
-    return jax.lax.map(lambda x: _sweep_bind(x, frozen), u), 0
+    if jax.default_backend() == "tpu":
+        # One sweep saturates the chip: sequence the batch (chains) axis.
+        return jax.lax.map(lambda x: _sweep_bind(x, frozen), u), 0
+    # Elsewhere the jnp form vmaps natively — crucially this keeps a
+    # NamedSharding-placed chains axis SPMD-partitionable (a lax.map would
+    # serialize sharded chains through per-iteration slices).
+    tables = _thaw_tables(frozen)
+    deltas = delta_tables(tables)
+    out = jax.vmap(lambda x: _stencil_apply_jnp(tables, deltas, x))(u)
+    return out, 0
 
 
 _sweep_p.def_impl(lambda u, *, frozen: _sweep_eval(u, frozen=frozen))

@@ -97,6 +97,24 @@ def test_validate_refuses_nan_coords_and_bad_conn():
     assert any("repeated nodes" in p for p in problems)
 
 
+def test_validate_refuses_mixed_element_families():
+    """A CHEXA+CTETRA mesh fails validation at ingest with a named reason
+    (VERDICT r3 missing item 6) instead of tracebacking at solve time; the
+    .bdf reader accepts both cards (io/nastran.py), the reference imports
+    HEX8 only (Database.cs:44-48)."""
+    m = meshgen.hex_beam(2, 2, 2)
+    m.elem_type = list(m.elem_type)
+    m.elem_type[0] = "TET4_G2"  # pretend one element is a tet family
+    problems = validate.check_model(m)
+    assert any("mixed element formulations" in p for p in problems)
+    assert any("single" in p and "formulation" in p for p in problems)
+    # G1 vs G2 of the SAME family is still mixed (one kernel block per
+    # solve), and also named:
+    m.elem_type[0] = "HEX8_G1"
+    problems = validate.check_model(m)
+    assert any("mixed element formulations" in p for p in problems)
+
+
 def test_validate_detects_underconstrained():
     m = meshgen.hex_beam(2, 2, 2)
     # Keep a load but drop the SPC.
