@@ -359,4 +359,114 @@ int64_t stanfem_node_incidence(const int64_t* conn, int64_t n_entries,
   return md;
 }
 
+// ---------------------------------------------------------------------------
+// Protobuf wire scanning (data loader for the STdb reader, io/stdb.py)
+//
+// The STdb file is one protobuf message whose bulk is two maps with ~nnode /
+// ~nelem entries (Database.cs:12-13). Walking those entries in Python costs
+// minutes at 1M nodes; this scanner walks the wire format in C and emits a
+// flat field table (body index, field number, wire type, value/offset,
+// length) that numpy consumes array-at-a-time. One call scans any number of
+// sibling message bodies (e.g. every Node at once), so a full read needs a
+// constant number of native calls regardless of model size.
+// ---------------------------------------------------------------------------
+
+// Scan `nbody` protobuf message bodies given by [starts[i], ends[i]) into
+// parallel record arrays. Per record:
+//   body  = which input body the record belongs to
+//   field = protobuf field number, wt = wire type (0 varint, 1 fixed64,
+//           2 length-delimited, 5 fixed32)
+//   a     = varint value / fixed64 bits / absolute payload offset (wt 2)
+//   b     = payload length (wt 2), else 0
+// Pass cap == 0 (outputs may be null) to count records. Returns the record
+// count, or -1 on malformed input (truncated varint, bad wire type,
+// overrun) — callers fall back to the generated-protobuf parser.
+int64_t stanfem_pb_scan_many(const uint8_t* buf, int64_t buflen,
+                             const int64_t* starts, const int64_t* ends,
+                             int64_t nbody,
+                             int32_t* body_out, int32_t* field_out,
+                             int8_t* wt_out, int64_t* a_out, int64_t* b_out,
+                             int64_t cap) {
+  int64_t count = 0;
+  for (int64_t ib = 0; ib < nbody; ++ib) {
+    int64_t pos = starts[ib];
+    const int64_t end = ends[ib];
+    if (pos < 0 || end > buflen || pos > end) return -1;
+    while (pos < end) {
+      // varint: tag
+      uint64_t tag = 0;
+      int shift = 0;
+      while (true) {
+        if (pos >= end || shift > 63) return -1;
+        uint8_t byte = buf[pos++];
+        tag |= (uint64_t)(byte & 0x7F) << shift;
+        if (!(byte & 0x80)) break;
+        shift += 7;
+      }
+      const int64_t field = (int64_t)(tag >> 3);
+      const int wt = (int)(tag & 7);
+      if (field <= 0 || field > INT32_MAX) return -1;
+      int64_t a = 0, b = 0;
+      switch (wt) {
+        case 0: {  // varint value
+          uint64_t v = 0;
+          shift = 0;
+          while (true) {
+            if (pos >= end || shift > 63) return -1;
+            uint8_t byte = buf[pos++];
+            v |= (uint64_t)(byte & 0x7F) << shift;
+            if (!(byte & 0x80)) break;
+            shift += 7;
+          }
+          a = (int64_t)v;
+          break;
+        }
+        case 1: {  // fixed64 bits
+          if (pos + 8 > end) return -1;
+          uint64_t v;
+          std::memcpy(&v, buf + pos, 8);
+          pos += 8;
+          a = (int64_t)v;
+          break;
+        }
+        case 2: {  // length-delimited: absolute offset + length
+          uint64_t len = 0;
+          shift = 0;
+          while (true) {
+            if (pos >= end || shift > 63) return -1;
+            uint8_t byte = buf[pos++];
+            len |= (uint64_t)(byte & 0x7F) << shift;
+            if (!(byte & 0x80)) break;
+            shift += 7;
+          }
+          if (pos + (int64_t)len > end) return -1;
+          a = pos;
+          b = (int64_t)len;
+          pos += (int64_t)len;
+          break;
+        }
+        case 5: {  // fixed32 bits
+          if (pos + 4 > end) return -1;
+          uint32_t v;
+          std::memcpy(&v, buf + pos, 4);
+          pos += 4;
+          a = (int64_t)v;
+          break;
+        }
+        default:
+          return -1;  // groups (3/4) and invalid types unsupported
+      }
+      if (count < cap) {
+        body_out[count] = (int32_t)ib;
+        field_out[count] = (int32_t)field;
+        wt_out[count] = (int8_t)wt;
+        a_out[count] = a;
+        b_out[count] = b;
+      }
+      ++count;
+    }
+  }
+  return count;
+}
+
 }  // extern "C"

@@ -77,6 +77,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int64,
     ]
     lib.stanfem_node_incidence.restype = ctypes.c_int64
+    lib.stanfem_pb_scan_many.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64,
+    ]
+    lib.stanfem_pb_scan_many.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -141,3 +152,39 @@ def node_incidence(conn: np.ndarray, nnode: int) -> Optional[np.ndarray]:
         idx.ctypes.data_as(ctypes.c_void_p), int(maxdeg),
     )
     return idx if rc >= 0 else None
+
+
+def pb_scan_many(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Scan protobuf message bodies into a flat field table.
+
+    buf: uint8 byte array; starts/ends: int64 body ranges. Returns
+    (body i32, field i32, wt i8, a i64, b i64) arrays — see
+    native/stanfem.cpp stanfem_pb_scan_many for record semantics — or None
+    when the native library is unavailable or the input is malformed
+    (callers fall back to the generated-protobuf parser).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    n = lib.stanfem_pb_scan_many(buf, buf.size, starts, ends, len(starts),
+                                 None, None, None, None, None, 0)
+    if n < 0:
+        return None
+    body = np.empty(n, dtype=np.int32)
+    field = np.empty(n, dtype=np.int32)
+    wt = np.empty(n, dtype=np.int8)
+    a = np.empty(n, dtype=np.int64)
+    b = np.empty(n, dtype=np.int64)
+    n2 = lib.stanfem_pb_scan_many(
+        buf, buf.size, starts, ends, len(starts),
+        body.ctypes.data_as(ctypes.c_void_p),
+        field.ctypes.data_as(ctypes.c_void_p),
+        wt.ctypes.data_as(ctypes.c_void_p),
+        a.ctypes.data_as(ctypes.c_void_p),
+        b.ctypes.data_as(ctypes.c_void_p), n)
+    if n2 != n:
+        return None
+    return body, field, wt, a, b
