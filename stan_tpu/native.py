@@ -88,6 +88,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
     ]
     lib.stanfem_pb_scan_many.restype = ctypes.c_int64
+    lib.stanfem_stencil_interior_f64.argtypes = [
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
+    lib.stanfem_stencil_interior_f64.restype = None
     _lib = lib
     return _lib
 
@@ -188,3 +195,23 @@ def pb_scan_many(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     if n2 != n:
         return None
     return body, field, wt, a, b
+
+
+def stencil_interior_f64(up: np.ndarray, tab: np.ndarray) -> Optional[np.ndarray]:
+    """Float64 interior-table stencil sweep (certification hot loop).
+
+    up: [3, nnx+2, nny+2, nnz+2] ghost-padded grid; tab: [27, 3, 3]
+    offset-major ((ox+1)*9 + (oy+1)*3 + (oz+1)) interior table. Returns
+    [3, nnx, nny, nnz] or None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    up = np.ascontiguousarray(up, dtype=np.float64)
+    tab = np.ascontiguousarray(tab, dtype=np.float64)
+    _, pxx, pyy, pzz = up.shape
+    nnx, nny, nnz = pxx - 2, pyy - 2, pzz - 2
+    out = np.empty((3, nnx, nny, nnz), dtype=np.float64)
+    lib.stanfem_stencil_interior_f64(up.reshape(-1), nnx, nny, nnz,
+                                     tab.reshape(-1), out.reshape(-1))
+    return out

@@ -166,6 +166,11 @@ class RefinedResult(NamedTuple):
     rel_residual: float  # true ||b - A_hi u|| / ||b|| (float64)
     inner_iters: int     # total low-precision CG iterations
     converged: bool
+    # Wall-time breakdown: host f64 residual sweeps vs inner device solves
+    # (includes their host<->device transfers); everything else is
+    # framework/transfer overhead.
+    sweep_seconds: float = 0.0
+    inner_seconds: float = 0.0
 
 
 def pcg_refined(
@@ -194,13 +199,23 @@ def pcg_refined(
     floor as long as CG contracts the error at all (classic Wilkinson
     refinement); stops early once a cycle no longer reduces the residual.
 
-    Inner tolerance schedule: refinement only needs each correction solve to
-    shrink the residual to the *target*, not to machine precision -- cycle k
-    with current relative residual rel needs ||r - A d|| <~ tol*||b||, i.e.
-    an inner relative tolerance of ~tol/rel. Fixed tight inner tolerances
-    (the round-2 schedule) re-ran a full solve per cycle (3.2x overhead,
-    VERDICT.md weak item 2); the adaptive schedule below makes a
-    warm-started certification cost a fraction of the base solve.
+    Inner tolerance schedule: refinement only needs each correction solve
+    to shrink the residual to the *target*, not to machine precision --
+    cycle k with current relative residual rel needs ||r - A d|| <~
+    tol*||b||, i.e. an inner relative tolerance of ~tol/rel. Two
+    floor-driven refinements of that rule (measured at 1M DOF, kappa ~1e5):
+
+      * a single low-precision correction cannot push the true residual
+        below ~(eps_lo * kappa) * rel -- the correction solve has the same
+        attainable-accuracy floor as the base solve (measured ~2e-3 in f32
+        on the 1M-DOF bench: base recurrence 9.5e-7 but TRUE residual
+        2.3e-3). When rel0 is at that floor and tol sits below
+        floor * rel0, a second cycle is *mandatory*;
+      * therefore solving cycle 1 much past its own floor is pure waste
+        (the round-3 schedule's 0.05x factor burned ~740 inner iterations
+        where ~260 suffice). The schedule below caps per-cycle effort at
+        3e-2 relative -- each cycle retires ~1.5 residual decades cheaply
+        and the product of cycles reaches tol.
 
     Args:
       A: low-precision device operator (same masked SPD convention as pcg).
@@ -208,7 +223,7 @@ def pcg_refined(
       A_hi: float64 operator, called on numpy arrays outside jit.
       tol: target true relative residual ||r||/||b||.
       inner_tol: per-cycle relative tolerance of the low-precision CG;
-        None (default) = adaptive clip(0.05*tol/rel, lo-dtype floor, 0.1).
+        None (default) = adaptive clip(0.3*tol/rel, lo-dtype floor, 3e-2).
       x0: optional float64 warm start (e.g. the base low-precision solve's
         solution) -- cycle 0 then only certifies/polishes it.
       inner_solve: optional pre-compiled (r_lo, tol) -> CGResult used for
@@ -231,30 +246,42 @@ def pcg_refined(
     inner = inner_solve if inner_solve is not None else jax.jit(
         lambda r, t: pcg(A, r, diag=diag, tol=t, maxiter=maxiter, ndof=ndof))
 
+    import time as _time
+
     x = np.zeros_like(b64) if x0 is None else np.array(x0, np.float64)
     total_iters = 0
     rel = np.inf
     solves = 0
+    sweep_s = 0.0
+    inner_s = 0.0
     for _ in range(max_cycles + 1):
+        t0 = _time.perf_counter()
         r = b64 - np.asarray(A_hi(x), np.float64)
+        sweep_s += _time.perf_counter() - t0
         new_rel = float(np.linalg.norm(r.ravel())) / bnorm
         if new_rel <= tol:
-            return RefinedResult(x, solves, new_rel, total_iters, True)
+            return RefinedResult(x, solves, new_rel, total_iters, True,
+                                 sweep_s, inner_s)
         if new_rel >= rel:  # stalled at the low-precision floor
-            return RefinedResult(x, solves, new_rel, total_iters, False)
+            return RefinedResult(x, solves, new_rel, total_iters, False,
+                                 sweep_s, inner_s)
         rel = new_rel
         if solves == max_cycles:
             break
-        # Aim well past tol (0.05x) so one correction normally certifies:
-        # the extra ~1 residual decade costs ~90 inner iterations, far less
-        # than another float64 host sweep + cycle.
+        # Aim one comfortable notch past what this cycle needs (0.3x), but
+        # never deeper than 3e-2 per cycle (see the schedule note above:
+        # the correction's own floor makes deep per-cycle solves wasted
+        # iterations whenever another cycle is coming anyway).
         t = inner_tol if inner_tol is not None else min(
-            max(0.05 * tol / new_rel, floor), 0.1)
+            max(0.3 * tol / new_rel, floor), 3.0e-2)
+        t0 = _time.perf_counter()
         res = inner(jnp.asarray(r, dtype=lo_dtype), t)
         total_iters += int(res.iters)
         solves += 1
         x = x + np.asarray(res.u, np.float64)
-    return RefinedResult(x, solves, rel, total_iters, rel <= tol)
+        inner_s += _time.perf_counter() - t0
+    return RefinedResult(x, solves, rel, total_iters, rel <= tol,
+                         sweep_s, inner_s)
 
 
 @partial(jax.jit, static_argnums=(2, 3))

@@ -20,6 +20,11 @@ import jax.numpy as jnp
 from stan_tpu.core import meshgen
 from stan_tpu.analysis.linear import solve_linear_statics
 
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / large meshes: minutes on CPU
+
+
 
 def test_f32_solve_is_certified():
     m = meshgen.hex_beam(5, 4, 4)

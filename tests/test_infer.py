@@ -12,6 +12,9 @@ import jax.numpy as jnp
 from stan_tpu.core import meshgen
 from stan_tpu.infer import calibrate, forward, hmc, nuts, smc, vi
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / large meshes: minutes on CPU
+
+
 
 # ---------------------------------------------------------------------------
 # Analytic-target sanity: correlated 2-D Gaussian

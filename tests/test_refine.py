@@ -11,6 +11,11 @@ from stan_tpu.core import meshgen
 from stan_tpu.fem import stencil
 from stan_tpu.solvers import cg as cg_mod
 
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / large meshes: minutes on CPU
+
+
 
 def _setup(nx=6, ny=4, nz=4):
     m = meshgen.hex_beam(nx, ny, nz)

@@ -12,6 +12,9 @@ from stan_tpu.core import meshgen
 from stan_tpu.fem import stencil
 from stan_tpu.parallel import sharded_stencil as ss
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / large meshes: minutes on CPU
+
+
 
 def _mesh(ndev):
     return Mesh(np.array(jax.devices()[:ndev]), axis_names=("domain",))

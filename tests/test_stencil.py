@@ -16,6 +16,9 @@ from stan_tpu.core import meshgen
 from stan_tpu.fem import stencil, structured
 from stan_tpu.fem.operator import build_operator
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / large meshes: minutes on CPU
+
+
 
 def _ops(nx=4, ny=3, nz=3, **kw):
     m = meshgen.hex_beam(nx, ny, nz, **kw)
