@@ -462,6 +462,128 @@ def build_stencil_operator(model: FEModel, dtype=None
                            deltas=delta_tables(tables))
 
 
+def _make_fused_kernel_theta(tl: dict, tm: dict, BX: int, SX: int, NNY: int,
+                             NNZ: int, nblocks: int):
+    """Coefficient-parameterized tiered kernel: f = a·K_l u + b·K_m u.
+
+    Same structure as _make_fused_kernel, but each signature table is a
+    PAIR (unit-lambda, unit-mu) of static 3x3 blocks and the runtime
+    coefficients (a, b) arrive in SMEM: per (c, d, offset) the scalar
+    coef = a*tl + b*tm is formed once (scalar ALU, negligible) and the
+    vector FMA count stays that of a single fixed-table sweep — the matvec
+    of the theta-dependent inference forward model costs ONE pass instead
+    of two single-coefficient sweeps.
+    """
+    from jax.experimental import pallas as pl
+
+    last_lx = SX - 1 - (nblocks - 1) * BX
+    zero33 = np.zeros((3, 3))
+
+    def kernel(flags_ref, coef_ref, u_ref, f_ref):
+        pid = pl.program_id(0)
+        a = coef_ref[0]
+        b = coef_ref[1]
+
+        shifted = {}
+        for d in range(3):
+            for oy in (-1, 0, 1):
+                for oz in (-1, 0, 1):
+                    shifted[(d, oy, oz)] = u_ref[
+                        d, :, 1 + oy:1 + oy + NNY, 1 + oz:1 + oz + NNZ]
+
+        def region(sig):
+            sx, sy, sz = sig
+            xb, xs = (None, BX)
+            if sx == "L":
+                xb, xs = 0, 1
+            elif sx == "H":
+                xb, xs = last_lx, 1
+            ysl = {"F": slice(0, NNY), "L": slice(0, 1),
+                   "H": slice(NNY - 1, NNY)}[sy]
+            zsl = {"F": slice(0, NNZ), "L": slice(0, 1),
+                   "H": slice(NNZ - 1, NNZ)}[sz]
+            return xb, xs, ysl, zsl
+
+        def apply_sig(sig):
+            xb, xs, ysl, zsl = region(sig)
+            x0 = 0 if xb is None else xb
+            offs = sorted(set(tl[sig]) | set(tm[sig]))
+            for c in range(3):
+                acc = None
+                for d in range(3):
+                    for off in offs:
+                        al = float(np.asarray(tl[sig].get(off, zero33))[c, d])
+                        am = float(np.asarray(tm[sig].get(off, zero33))[c, d])
+                        if al == 0.0 and am == 0.0:
+                            continue
+                        ox, oy, oz = off
+                        coef = al * a + am * b
+                        win = shifted[(d, oy, oz)]
+                        sub = win[1 + ox + x0:1 + ox + x0 + xs, ysl, zsl]
+                        term = coef * sub
+                        acc = term if acc is None else acc + term
+                f_ref[c, x0:x0 + xs, ysl, zsl] = acc
+
+        apply_sig(_INTERIOR)
+        for ncon in (1, 2, 3):
+            for sig in _SIGS:
+                if sig == _INTERIOR or sum(s != "F" for s in sig) != ncon:
+                    continue
+                if not (tl.get(sig) or tm.get(sig)):
+                    continue
+                sx = sig[0]
+                if sx == "L":
+                    @pl.when(jnp.logical_and(pid == 0, flags_ref[0] != 0))
+                    def _(sig=sig):
+                        apply_sig(sig)
+                elif sx == "H":
+                    @pl.when(jnp.logical_and(pid == nblocks - 1,
+                                             flags_ref[1] != 0))
+                    def _(sig=sig):
+                        apply_sig(sig)
+                else:
+                    apply_sig(sig)
+
+    return kernel
+
+
+def fused_sweep_theta(tl: dict, tm: dict, lam, mu, up: jax.Array,
+                      is_low, is_high, BX: int = 8) -> jax.Array:
+    """One-pass a·K_l u + b·K_m u over a ghost-padded slab (see
+    _make_fused_kernel_theta); same halo/flags contract as fused_sweep."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, SXp, NNYp, NNZp = up.shape
+    SX, NNY, NNZ = SXp - 2, NNYp - 2, NNZp - 2
+    BX = min(BX, SX)
+    nblocks = pl.cdiv(SX, BX)
+    kernel = _make_fused_kernel_theta(tl, tm, BX, SX, NNY, NNZ, nblocks)
+    interpret = jax.default_backend() != "tpu"
+    flags = jnp.stack([jnp.asarray(is_low, jnp.int32),
+                       jnp.asarray(is_high, jnp.int32)])
+    coefs = jnp.stack([jnp.asarray(lam, up.dtype),
+                       jnp.asarray(mu, up.dtype)])
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (pl.Element(3), pl.Element(BX + 2, (0, nblocks * BX - SX)),
+                 pl.Element(NNY + 2), pl.Element(NNZ + 2)),
+                lambda i: (0, i * BX, 0, 0),
+                memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((3, BX, NNY, NNZ), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, SX, NNY, NNZ), up.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(flags, coefs, up)
+
+
 # ---------------------------------------------------------------------------
 # stencil_sweep primitive: the assembled K·u as a differentiable JAX op
 # ---------------------------------------------------------------------------
@@ -529,6 +651,108 @@ def linear_sweep_fn(frozen_tables):
     """Self-adjoint linear u -> K·u (raw, unmasked) from frozen tables, as a
     jit/grad/vmap-composable function of u (see _sweep_p above)."""
     return lambda u: _sweep_bind(u, frozen_tables)
+
+
+# ---------------------------------------------------------------------------
+# theta_sweep primitive: (a, b, u) -> a·K_l u + b·K_m u in ONE pass
+# ---------------------------------------------------------------------------
+# The inference forward model's matvec is K(theta)·u = lam·K_l u + mu·K_m u
+# with the two unit-coefficient table sets static. As two _sweep_p calls it
+# costs two full passes over u; this primitive runs the coefficient-
+# parameterized kernel (fused_sweep_theta) — one pass, same FMA count.
+# Derivative structure (bilinear in (coefs, u)):
+#   jvp       = theta(a, b, du) + theta(da, db, u)     (two more passes,
+#               only on differentiated traces)
+#   transpose wrt u       = theta(a, b, ct)            (self-adjoint)
+#   transpose wrt (a, b)  = (<ct, K_l u>, <ct, K_m u>) (two unit passes)
+#   batching  = lax.map on TPU (chains sequence a saturated chip),
+#               native vmap of the jnp form elsewhere (stays SPMD-shardable)
+
+_theta_p = _Primitive("stan_stencil_theta_sweep")
+
+
+def theta_sweep(lam, mu, u, fl, fm):
+    """a·K_l u + b·K_m u on the node grid; fl/fm are frozen table sets
+    (stencil._freeze_tables) for the unit-lambda / unit-mu operators."""
+    lam = jnp.asarray(lam, u.dtype)
+    mu = jnp.asarray(mu, u.dtype)
+    return _theta_p.bind(lam, mu, u, fl=fl, fm=fm)
+
+
+def _theta_eval(lam, mu, u, *, fl, fm):
+    tl, tm = _thaw_tables(fl), _thaw_tables(fm)
+    if jax.default_backend() == "tpu":
+        up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (1, 1)))
+        return fused_sweep_theta(tl, tm, lam, mu, up, 1, 1)
+    return (lam * _stencil_apply_jnp(tl, delta_tables(tl), u)
+            + mu * _stencil_apply_jnp(tm, delta_tables(tm), u))
+
+
+def _theta_jvp(primals, tangents, *, fl, fm):
+    lam, mu, u = primals
+    dlam, dmu, du = tangents
+    out = _theta_p.bind(lam, mu, u, fl=fl, fm=fm)
+    terms = []
+    if not isinstance(du, _ad.Zero):
+        terms.append(_theta_p.bind(lam, mu, du, fl=fl, fm=fm))
+    if not (isinstance(dlam, _ad.Zero) and isinstance(dmu, _ad.Zero)):
+        dl = jnp.zeros_like(lam) if isinstance(dlam, _ad.Zero) else dlam
+        dm = jnp.zeros_like(mu) if isinstance(dmu, _ad.Zero) else dmu
+        terms.append(_theta_p.bind(dl, dm, u, fl=fl, fm=fm))
+    if not terms:
+        return out, _ad.Zero.from_primal_value(out)
+    dout = terms[0] if len(terms) == 1 else terms[0] + terms[1]
+    return out, dout
+
+
+def _theta_transpose(ct, lam, mu, u, *, fl, fm):
+    if _ad.is_undefined_primal(u):
+        # linear in u with (lam, mu) known: self-adjoint sweep of ct
+        return None, None, _theta_p.bind(lam, mu, ct, fl=fl, fm=fm)
+    one = jnp.ones((), ct.dtype)
+    nil = jnp.zeros((), ct.dtype)
+    gl = gm = None
+    if _ad.is_undefined_primal(lam):
+        gl = jnp.sum(ct * _theta_p.bind(one, nil, u, fl=fl, fm=fm))
+    if _ad.is_undefined_primal(mu):
+        gm = jnp.sum(ct * _theta_p.bind(nil, one, u, fl=fl, fm=fm))
+    return gl, gm, None
+
+
+def _theta_batch(args, dims, *, fl, fm):
+    size = next(np.shape(a)[d] for a, d in zip(args, dims) if d is not None)
+
+    def lead(x, d):
+        if d is None:
+            return jnp.broadcast_to(x[None], (size,) + jnp.shape(x))
+        return jnp.moveaxis(x, d, 0)
+
+    lam, mu, u = (lead(x, d) for x, d in zip(args, dims))
+    if jax.default_backend() == "tpu":
+        out = jax.lax.map(
+            lambda t: _theta_p.bind(t[0], t[1], t[2], fl=fl, fm=fm),
+            (lam, mu, u))
+        return out, 0
+    tl, tm = _thaw_tables(fl), _thaw_tables(fm)
+    dl, dm = delta_tables(tl), delta_tables(tm)
+    out = jax.vmap(
+        lambda l, m, x: (l * _stencil_apply_jnp(tl, dl, x)
+                         + m * _stencil_apply_jnp(tm, dm, x)))(lam, mu, u)
+    return out, 0
+
+
+def _theta_abstract(lam, mu, u, *, fl, fm):
+    return u
+
+
+_theta_p.def_impl(
+    lambda lam, mu, u, *, fl, fm: _theta_eval(lam, mu, u, fl=fl, fm=fm))
+_theta_p.def_abstract_eval(_theta_abstract)
+_mlir.register_lowering(
+    _theta_p, _mlir.lower_fun(_theta_eval, multiple_results=False))
+_ad.primitive_jvps[_theta_p] = _theta_jvp
+_ad.primitive_transposes[_theta_p] = _theta_transpose
+_batching.primitive_batchers[_theta_p] = _theta_batch
 
 
 def exact_tables(model: FEModel):

@@ -133,16 +133,21 @@ class StencilForwardProblem:
         return u_grid.transpose(1, 2, 3, 0).reshape(n[0] * n[1] * n[2], 3)
 
     def matvec_fn(self, lam, mu) -> Callable[[jax.Array], jax.Array]:
-        """Masked SPD action u -> M K(theta) (M u) + (I - M) u on the grid."""
+        """Masked SPD action u -> M K(theta) (M u) + (I - M) u on the grid.
+
+        K(theta)·u runs as ONE coefficient-parameterized Pallas pass
+        (stencil.theta_sweep: a·K_l u + b·K_m u with static tables and SMEM
+        coefficients) — the same FMA count as a single fixed-table sweep,
+        i.e. half the cost of summing two separate unit sweeps.
+        """
         from stan_tpu.fem import stencil
 
-        sw_l = stencil.linear_sweep_fn(self.ft_lam)
-        sw_m = stencil.linear_sweep_fn(self.ft_mu)
         m = self.free_mask
 
         def matvec(u):
             mu_u = m * u
-            return m * (lam * sw_l(mu_u) + mu * sw_m(mu_u)) + (1.0 - m) * u
+            ku = stencil.theta_sweep(lam, mu, mu_u, self.ft_lam, self.ft_mu)
+            return m * ku + (1.0 - m) * u
 
         return matvec
 
