@@ -280,7 +280,7 @@ def _hmc_bench(g: int) -> dict:
     theta0 = jnp.asarray([[np.log(210000.0), 0.0, 0.0]])
     res = hmc.run_hmc(
         prob.log_posterior, theta0, jax.random.PRNGKey(11),
-        n_samples=n_samples, n_warmup=16, n_leapfrog=n_leapfrog,
+        n_samples=n_samples, n_warmup=48, n_leapfrog=n_leapfrog,
         init_step=0.02, checkpoint_every=chunk,
     )
     steady_s = sum(res.chunk_seconds[1:])
