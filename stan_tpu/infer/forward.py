@@ -178,16 +178,11 @@ class StencilForwardProblem:
         )
 
 
-def build_stencil_forward(
-    model: FEModel,
-    *,
-    dtype=None,
-    cg_tol: float = 1.0e-8,
-    cg_maxiter: int = 0,
-) -> Optional[StencilForwardProblem]:
-    """Build the stencil fast-path forward model, or None if the mesh does
-    not qualify (structured meshgen-ordered HEX8 grid required; the material
-    table is *ignored* — theta supplies the material)."""
+def _stencil_forward_pieces(model: FEModel, dtype=None):
+    """Shared geometry derivation for the stencil forward models: the
+    structured base operator, unit-coefficient signature tables, raw Jacobi
+    diagonal grids and the unit load grid. None if the mesh doesn't
+    qualify."""
     from stan_tpu.fem import stencil, structured
 
     base = structured.build_structured_operator(model, dtype=dtype)
@@ -203,6 +198,25 @@ def build_stencil_forward(
     d_lam = base.scatter_elements(dl)
     d_mu = base.scatter_elements(dm)
     f0 = base.to_grid(jnp.asarray(model.load_vector(), dtype=base.dtype))
+    return base, tables_lam, tables_mu, d_lam, d_mu, f0
+
+
+def build_stencil_forward(
+    model: FEModel,
+    *,
+    dtype=None,
+    cg_tol: float = 1.0e-8,
+    cg_maxiter: int = 0,
+) -> Optional[StencilForwardProblem]:
+    """Build the stencil fast-path forward model, or None if the mesh does
+    not qualify (structured meshgen-ordered HEX8 grid required; the material
+    table is *ignored* — theta supplies the material)."""
+    from stan_tpu.fem import stencil
+
+    pieces = _stencil_forward_pieces(model, dtype)
+    if pieces is None:
+        return None
+    base, tables_lam, tables_mu, d_lam, d_mu, f0 = pieces
     if cg_maxiter == 0:
         cg_maxiter = 3 * model.nnode
     return StencilForwardProblem(
@@ -215,6 +229,260 @@ def build_stencil_forward(
         node_shape=base.node_shape,
         cg_tol=cg_tol,
         cg_maxiter=cg_maxiter,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedStencilForwardProblem:
+    """Domain-sharded differentiable theta -> u forward model.
+
+    The chains x domain composition of SURVEY.md §2.5/§5.8 *inside the
+    inference layer* (VERDICT r4 missing item 1): the FEM grid is x-slab
+    sharded on `domain_axis` of a 2-axis mesh, HMC chains ride
+    `chains_axis`, and the whole log-posterior gradient runs under ONE
+    shard_map:
+
+      * the matvec is the pure-jnp slab form (fem/stencil.slab_theta_apply)
+        behind a ppermute halo exchange — every op transposable, so
+        custom_linear_solve's implicit adjoint (an extra sharded CG with
+        the same operator) and the (lam, mu, load) cotangents all flow
+        through shard_map with no unrolling;
+      * per-chain CG solves run with sync_axes=(chains_axis,): a uniform
+        launch-wide trip count (converged chains execute masked no-op
+        bodies), so the halo/psum schedule can never desynchronize across
+        chain rows — the fix proven by parallel/sharded_stencil
+        .chain_batched_pcg (MULTICHIP_r03 rendezvous abort);
+      * local observation likelihoods and local theta-cotangents are
+        explicitly psum'd over the domain axis (the AD inside the shard_map
+        body produces per-device contributions; the psum completes the
+        global value/gradient).
+
+    The reference's solve being composed is ALGLIB lincg
+    (src/STAN_Solver/SolverFunctions.cs:270-330); the reference itself has
+    no distributed backend.
+    """
+
+    ft_lam: tuple  # frozen unit-lambda signature tables (static)
+    ft_mu: tuple
+    fc_lam: tuple  # frozen slab correction tables (static)
+    fc_mu: tuple
+    free_mask: jax.Array  # [3, NNX, NNY, NNZ] global grids
+    d_lam: jax.Array
+    d_mu: jax.Array
+    f0: jax.Array
+    node_shape: tuple
+    cg_tol: float
+    cg_maxiter: int
+    mesh: object  # jax.sharding.Mesh (static)
+    domain_axis: str = "domain"
+    chains_axis: str = "chains"
+
+    @property
+    def dtype(self):
+        return self.f0.dtype
+
+    @property
+    def ndev(self):
+        return self.mesh.shape[self.domain_axis]
+
+    def _thawed(self):
+        from stan_tpu.fem import stencil
+
+        return (stencil._thaw_tables(self.ft_lam),
+                stencil._thaw_tables(self.ft_mu),
+                stencil._thaw_corrections(self.fc_lam),
+                stencil._thaw_corrections(self.fc_mu))
+
+    def _local_matvec_fn(self, tl, tm, cl, cm, lam, mu, m_local,
+                         is_low, is_high):
+        """Masked SPD action on the local slab (inside shard_map): halo
+        ppermute + slab theta sweep. Non-wrapping perms: the absent source
+        on the global edge devices yields zeros — the stencil's ghost
+        convention."""
+        from stan_tpu.fem import stencil
+
+        ax = self.domain_axis
+        n = self.ndev
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        bwd = [(i + 1, i) for i in range(n - 1)]
+
+        def matvec(u):
+            um = m_local * u
+            from_left = jax.lax.ppermute(um[:, -1:], ax, fwd)
+            from_right = jax.lax.ppermute(um[:, :1], ax, bwd)
+            u_ext = jnp.concatenate([from_left, um, from_right], axis=1)
+            ku = stencil.slab_theta_apply(
+                tl, tm, cl, cm, lam, mu, u_ext, is_low, is_high)
+            return m_local * ku + (1.0 - m_local) * u
+
+        return matvec
+
+    def make_batched_logp_grad(
+        self,
+        w_grid: jax.Array,  # [3, NNX, NNY, NNZ] 0/1 observation mask
+        y_grid: jax.Array,  # [3, NNX, NNY, NNZ] observed values (0 where w=0)
+        sigma_obs: float,
+        theta_to_material: Callable,  # theta[D] -> (lam, mu, load_scale)
+        prior_logp: Callable,  # theta[D] -> scalar
+    ) -> Callable:
+        """Build logp_grad_b: [C, D] -> ([C], [C, D]) for hmc.run_chains.
+
+        One shard_map over (chains_axis, domain_axis): chains split across
+        chain rows and vmapped locally; each chain's logp/gradient is
+        computed with jax.value_and_grad INSIDE the body (local likelihood
+        term), then psum'd over the domain axis — each domain device's
+        cotangent contribution is exactly its slab's share of the global
+        gradient, so the psum completes it. The prior is added once,
+        outside the psum.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        from stan_tpu.solvers import cg as cg_mod
+
+        tl, tm, cl, cm = self._thawed()
+        dom, ch = self.domain_axis, self.chains_axis
+        tol, maxiter = self.cg_tol, self.cg_maxiter
+        ndof = int(3 * np.prod(self.node_shape))
+        sig2 = float(sigma_obs) ** 2
+
+        def local_body(theta_l, m_l, dl_l, dm_l, f0_l, w_l, y_l):
+            n = jax.lax.axis_size(dom)
+            idx = jax.lax.axis_index(dom)
+            is_low = (idx == 0).astype(jnp.int32)
+            is_high = (idx == n - 1).astype(jnp.int32)
+
+            def local_loglik(theta_i):
+                lam, mu, s = theta_to_material(theta_i)
+                lam = jnp.asarray(lam, f0_l.dtype)
+                mu = jnp.asarray(mu, f0_l.dtype)
+                rhs = m_l * (jnp.asarray(s, f0_l.dtype) * f0_l)
+                diag = m_l * (lam * dl_l + mu * dm_l) + (1.0 - m_l)
+                matvec = self._local_matvec_fn(
+                    tl, tm, cl, cm, lam, mu, m_l, is_low, is_high)
+
+                def solver(mv, b):
+                    return cg_mod.pcg(
+                        mv, b, diag=diag, tol=tol, maxiter=maxiter,
+                        ndof=ndof, axis_name=dom, sync_axes=(ch,),
+                    ).u
+
+                u = jax.lax.custom_linear_solve(
+                    matvec, rhs, solve=solver, symmetric=True)
+                resid2 = w_l * (u - y_l) ** 2
+                return -0.5 * jnp.sum(resid2) / sig2
+
+            v_loc, g_loc = jax.vmap(
+                jax.value_and_grad(local_loglik))(theta_l)
+            v = jax.lax.psum(v_loc, dom) + jax.vmap(prior_logp)(theta_l)
+            g = (jax.lax.psum(g_loc, dom)
+                 + jax.vmap(jax.grad(prior_logp))(theta_l))
+            return v, g
+
+        gs = P(None, dom, None, None)
+        fn = jax.shard_map(
+            local_body, mesh=self.mesh,
+            in_specs=(P(ch), gs, gs, gs, gs, gs, gs),
+            out_specs=(P(ch), P(ch)),
+            check_vma=False,
+        )
+        leaves = (self.free_mask, self.d_lam, self.d_mu, self.f0,
+                  jnp.asarray(w_grid, self.dtype),
+                  jnp.asarray(y_grid, self.dtype))
+
+        def logp_grad_b(theta_b):
+            return fn(theta_b, *leaves)
+
+        return logp_grad_b
+
+    def solve_batched(self, thetas: jax.Array, theta_to_material: Callable
+                      ) -> jax.Array:
+        """Per-chain displacement grids u [C, 3, NNX, NNY, NNZ] under the
+        same sharded solve path (forward only; used by tests/tools)."""
+        from jax.sharding import PartitionSpec as P
+
+        from stan_tpu.solvers import cg as cg_mod
+
+        tl, tm, cl, cm = self._thawed()
+        dom, ch = self.domain_axis, self.chains_axis
+        tol, maxiter = self.cg_tol, self.cg_maxiter
+        ndof = int(3 * np.prod(self.node_shape))
+
+        def local_body(theta_l, m_l, dl_l, dm_l, f0_l):
+            n = jax.lax.axis_size(dom)
+            idx = jax.lax.axis_index(dom)
+            is_low = (idx == 0).astype(jnp.int32)
+            is_high = (idx == n - 1).astype(jnp.int32)
+
+            def one(theta_i):
+                lam, mu, s = theta_to_material(theta_i)
+                lam = jnp.asarray(lam, f0_l.dtype)
+                mu = jnp.asarray(mu, f0_l.dtype)
+                rhs = m_l * (jnp.asarray(s, f0_l.dtype) * f0_l)
+                diag = m_l * (lam * dl_l + mu * dm_l) + (1.0 - m_l)
+                matvec = self._local_matvec_fn(
+                    tl, tm, cl, cm, lam, mu, m_l, is_low, is_high)
+                return cg_mod.pcg(
+                    matvec, rhs, diag=diag, tol=tol, maxiter=maxiter,
+                    ndof=ndof, axis_name=dom, sync_axes=(ch,)).u
+
+            return jax.vmap(one)(theta_l)
+
+        gs = P(None, dom, None, None)
+        fn = jax.shard_map(
+            local_body, mesh=self.mesh,
+            in_specs=(P(ch), gs, gs, gs, gs),
+            out_specs=P(ch, None, dom, None, None),
+            check_vma=False,
+        )
+        return fn(thetas, self.free_mask, self.d_lam, self.d_mu, self.f0)
+
+
+def build_sharded_stencil_forward(
+    model: FEModel,
+    mesh,
+    *,
+    domain_axis: str = "domain",
+    chains_axis: str = "chains",
+    dtype=None,
+    cg_tol: float = 1.0e-8,
+    cg_maxiter: int = 0,
+) -> Optional[ShardedStencilForwardProblem]:
+    """Build the domain-sharded stencil forward model on a 2-axis mesh, or
+    None if the mesh/model doesn't qualify (structured HEX8 grid; NNX
+    divisible by the domain-axis size — same slab contract as
+    parallel/sharded_stencil)."""
+    from stan_tpu.fem import stencil
+
+    if domain_axis not in mesh.axis_names or chains_axis not in mesh.axis_names:
+        raise ValueError(
+            f"mesh needs axes ({chains_axis}, {domain_axis}); "
+            f"has {mesh.axis_names}")
+    pieces = _stencil_forward_pieces(model, dtype)
+    if pieces is None:
+        return None
+    base, tables_lam, tables_mu, d_lam, d_mu, f0 = pieces
+    ndev = mesh.shape[domain_axis]
+    if ndev < 1 or base.node_shape[0] % ndev != 0:
+        return None
+    if cg_maxiter == 0:
+        cg_maxiter = 3 * model.nnode
+    return ShardedStencilForwardProblem(
+        ft_lam=stencil._freeze_tables(tables_lam),
+        ft_mu=stencil._freeze_tables(tables_mu),
+        fc_lam=stencil._freeze_corrections(
+            stencil.slab_correction_tables(tables_lam)),
+        fc_mu=stencil._freeze_corrections(
+            stencil.slab_correction_tables(tables_mu)),
+        free_mask=base.free_mask,
+        d_lam=d_lam,
+        d_mu=d_mu,
+        f0=f0,
+        node_shape=base.node_shape,
+        cg_tol=cg_tol,
+        cg_maxiter=cg_maxiter,
+        mesh=mesh,
+        domain_axis=domain_axis,
+        chains_axis=chains_axis,
     )
 
 

@@ -272,8 +272,11 @@ def run_nuts(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
 ) -> hmc_mod.HMCResult:
-    """NUTS with HMC-style warmup; same chain vmap/sharding and chunked
-    checkpoint/resume as run_hmc (shared driver: hmc.run_chains)."""
+    """NUTS with HMC-style windowed warmup; same chain batching/sharding
+    and chunked checkpoint/resume as run_hmc (shared driver:
+    hmc.run_chains). The per-chain transition (data-dependent trajectory
+    while_loop) is vmapped into the driver's chain-batched contract with
+    per-chain keys folded from the step key."""
     if not 0 < max_depth <= 14:
         raise ValueError("max_depth must be in 1..14")
     val_grad = jax.value_and_grad(logp_fn)
@@ -284,12 +287,17 @@ def run_nuts(
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         return v, g
 
+    n_chains = jnp.asarray(theta0).shape[0]
+
     def transition(rng_i, state, step, inv_mass):
-        return nuts_transition(logp_grad, rng_i, state, step, inv_mass,
-                               max_depth)
+        keys = jax.random.split(rng_i, n_chains)
+        return jax.vmap(
+            lambda k, th, v, g, s, im: nuts_transition(
+                logp_grad, k, hmc_mod.HMCState(th, v, g), s, im, max_depth)
+        )(keys, state.theta, state.logp, state.grad, step, inv_mass)
 
     return hmc_mod.run_chains(
-        logp_grad, transition, theta0, rng,
+        jax.vmap(logp_grad), transition, theta0, rng,
         n_samples=n_samples, n_warmup=n_warmup, init_step=init_step,
         target_accept=target_accept, mesh=mesh, chain_axis=chain_axis,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
