@@ -34,7 +34,12 @@ def main() -> int:
     ap.add_argument("--n-samples", type=int, default=20)
     ap.add_argument("--n-warmup", type=int, default=20)
     ap.add_argument("--n-leapfrog", type=int, default=4)
-    ap.add_argument("--json-out", type=str, default=None)
+    ap.add_argument(
+        "--json-out", type=str,
+        default=os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALING.json"),
+        help="artifact path bench.py reads (default: repo-root "
+             "SCALING.json); pass '' to skip writing")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -95,8 +100,11 @@ def main() -> int:
     sps8u = 8 * args.n_samples / dt8u      # total samples/s, unsharded vmap
     eff = (sps8 / 8.0) / sps1
 
+    import datetime
+
     rec = {
         "metric": "hmc_chains_scaling_cpu_mesh",
+        "measured_at": datetime.datetime.now().isoformat(timespec="seconds"),
         "grid": n,
         "ndof": int(3 * model.nnode),
         "n_samples": args.n_samples,
