@@ -173,6 +173,11 @@ def main() -> int:
     res = solve(rhs, 1e-6)
     tol_iters = int(res.iters)
     tol_dt = time.perf_counter() - t0
+    # Fetch device scalars NOW: a later device fault (e.g. in a sampler
+    # bench) must not poison the already-computed solve numbers.
+    recurrence_rel = float(res.residual) / max(
+        float(jnp.sqrt(jnp.sum(rhs * rhs))), 1e-300)
+    res_converged = bool(res.converged)
 
     # Exact f64 operator pieces: host sweep for the one-off cross-check,
     # df32 split tables for the on-device certified solve.
@@ -242,10 +247,9 @@ def main() -> int:
         "solve_to_tol_1e6": {
             "iters": tol_iters,
             "seconds": round(tol_dt, 3),
-            "recurrence_rel_residual": float(res.residual) / max(
-                float(jnp.sqrt(jnp.sum(rhs * rhs))), 1e-300),
+            "recurrence_rel_residual": recurrence_rel,
             "true_f64_rel_residual_uncertified": true_rel_base,
-            "converged": bool(res.converged),
+            "converged": res_converged,
             "certified": certified,
         },
         "baseline": f"scipy CSR Jacobi-CG on this host: {CPU_BASELINE_ITERS_PER_S} iters/s",
