@@ -331,19 +331,23 @@ def _hmc_bench(g: int, small: bool) -> dict:
     model, prob = _calibration_problem(g)
     n_leapfrog = 8
     n_samples = 20 if small else 100
-    chunk = 5 if small else 25
     chain_counts = (1, 2) if small else (1, 4, 16)
     rng = np.random.default_rng(7)
 
     rows = []
     for n_chains in chain_counts:
+        # Keep every device dispatch well under the runtime watchdog: a
+        # 16-chain FEM warmup/chunk is minutes of device time if launched
+        # as one scan (observed TPU fault), so both warmup and sampling
+        # run in small segments.
+        chunk = 5 if small else max(5, 20 // max(n_chains // 4, 1))
         theta0 = jnp.asarray(
             np.array([np.log(210000.0), 0.0, 0.0])[None]
             + 0.05 * rng.normal(size=(n_chains, 3)))
         res = hmc.run_hmc(
             prob.log_posterior, theta0, jax.random.PRNGKey(11),
             n_samples=n_samples, n_warmup=64, n_leapfrog=n_leapfrog,
-            init_step=0.02, checkpoint_every=chunk,
+            init_step=0.02, checkpoint_every=chunk, warmup_chunk=8,
         )
         row = {
             "n_chains": n_chains,
@@ -384,7 +388,8 @@ def _nuts_bench(g: int, small: bool) -> dict:
     res = nuts.run_nuts(
         prob.log_posterior, theta0, jax.random.PRNGKey(13),
         n_samples=n_samples, n_warmup=32 if small else 64, max_depth=6,
-        init_step=0.02, checkpoint_every=max(5, n_samples // 4),
+        init_step=0.02, checkpoint_every=max(5, n_samples // 6),
+        warmup_chunk=8,
     )
     return {
         "metric": f"nuts_samples_per_s_chip_{g}cubed_fem_calibration",

@@ -30,6 +30,25 @@ from stan_tpu.fem.operator import StiffnessOperator, build_operator, default_dty
 from stan_tpu.solvers import cg as cg_mod
 
 
+def _default_infer_maxiter(nnode: int) -> int:
+    """Default CG iteration cap for the INFERENCE forward solves.
+
+    The theoretical exact-termination bound (ndof) is the right default
+    for a production solve, but inside an HMC leapfrog the sampler probes
+    arbitrary theta — a large negative log_E makes K nearly singular and
+    the (chain-synchronized) CG grinds toward the full ndof bound: at 16
+    chains x 32^3 that is minutes of device time in one dispatch, which
+    trips the TPU runtime watchdog (observed as a device fault). Any
+    theta whose solve genuinely needs more than this cap produces a
+    garbage displacement whose likelihood is astronomically low, so the
+    Metropolis step rejects it either way; capping just bounds the cost
+    of visiting it. Calibration-grade solves at sane theta need a few
+    hundred iterations at 1e-6..1e-8 tolerances (measured ~250 at 32^3,
+    ~1.5k at 70^3 with 1e-8), comfortably under the cap.
+    """
+    return min(3 * nnode, 4000)
+
+
 def lame_from_E_nu(E, nu):
     """Lame (lam, mu) from Young's modulus / Poisson ratio
     (Material.SetElastic, Material.cs:31-56)."""
@@ -218,7 +237,7 @@ def build_stencil_forward(
         return None
     base, tables_lam, tables_mu, d_lam, d_mu, f0 = pieces
     if cg_maxiter == 0:
-        cg_maxiter = 3 * model.nnode
+        cg_maxiter = _default_infer_maxiter(model.nnode)
     return StencilForwardProblem(
         ft_lam=stencil._freeze_tables(tables_lam),
         ft_mu=stencil._freeze_tables(tables_mu),
@@ -314,7 +333,7 @@ def build_structured_field_forward(
         return None
     f0 = base.to_grid(jnp.asarray(model.load_vector(), dtype=base.dtype))
     if cg_maxiter == 0:
-        cg_maxiter = 3 * model.nnode
+        cg_maxiter = _default_infer_maxiter(model.nnode)
     return StructuredFieldForwardProblem(
         op0=base, f0=f0, cg_tol=cg_tol, cg_maxiter=cg_maxiter)
 
@@ -552,7 +571,7 @@ def build_sharded_stencil_forward(
     if ndev < 1 or base.node_shape[0] % ndev != 0:
         return None
     if cg_maxiter == 0:
-        cg_maxiter = 3 * model.nnode
+        cg_maxiter = _default_infer_maxiter(model.nnode)
     return ShardedStencilForwardProblem(
         ft_lam=stencil._freeze_tables(tables_lam),
         ft_mu=stencil._freeze_tables(tables_mu),
@@ -615,7 +634,7 @@ def build_forward(
     )
     f0 = jnp.asarray(model.load_vector(), dtype=dtype)
     if cg_maxiter == 0:
-        cg_maxiter = 3 * model.nnode
+        cg_maxiter = _default_infer_maxiter(model.nnode)
     return ForwardProblem(op0=op, f0=f0, cg_tol=cg_tol, cg_maxiter=cg_maxiter)
 
 

@@ -197,8 +197,16 @@ def run_chains(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     kernel_id: str = "",
+    warmup_chunk: int = 0,
 ) -> HMCResult:
     """Shared chunked/checkpointed driver for batched MCMC chains.
+
+    ``warmup_chunk`` > 0 splits the warmup scan into segments of that many
+    transitions, each its own device dispatch: a many-chain FEM-forward
+    warmup is minutes of device time, and a single dispatch that long
+    trips device/runtime watchdogs (observed as a TPU fault at 16 chains
+    x 32^3). Segment boundaries carry the full adaptation state, so the
+    result is bitwise identical to the single-dispatch scan.
 
     ``transition(rng, state, step, inv_mass) -> (state, accept_prob [C],
     n_grad_evals [C])`` is the chain-batched kernel (HMC or vmapped NUTS);
@@ -255,20 +263,23 @@ def run_chains(
         state, ap, ne = transition(key_t, state, step, inv_mass)
         return (state, step, inv_mass), (state.theta, ap, ne)
 
-    def warmup_all(theta_init, wkeys):
+    def warmup_init(theta_init):
         v, g = logp_grad_b(theta_init)
         state = HMCState(theta_init, v, g)
         da = _dual_avg_init(
             jnp.full((n_chains,), init_step, theta_init.dtype))
-        carry = (state, da, jnp.zeros_like(theta_init),
-                 jnp.zeros_like(theta_init),
-                 jnp.asarray(0.0, theta_init.dtype),
-                 jnp.ones_like(theta_init))
-        (state, da, mean, m2, cnt, inv_mass), _ = jax.lax.scan(
-            warmup_scan, carry, (wkeys, mass_flags)
-        )
-        step = jnp.exp(da.log_step_avg)
-        return state.theta, step, inv_mass
+        return (state, da, jnp.zeros_like(theta_init),
+                jnp.zeros_like(theta_init),
+                jnp.asarray(0.0, theta_init.dtype),
+                jnp.ones_like(theta_init))
+
+    def warmup_seg(carry, keys, flags):
+        carry, _ = jax.lax.scan(warmup_scan, carry, (keys, flags))
+        return carry
+
+    def warmup_finish(carry):
+        state, da, _, _, _, inv_mass = carry
+        return state.theta, jnp.exp(da.log_step_avg), inv_mass
 
     def chunk_all(theta, step, inv_mass, keys):
         v, g = logp_grad_b(theta)
@@ -289,11 +300,24 @@ def run_chains(
         sharding = NamedSharding(mesh, P(chain_axis))
         theta0 = jax.device_put(theta0, sharding)
 
-    warm_fn = jax.jit(warmup_all)
+    warm_init_fn = jax.jit(warmup_init)
+    warm_seg_fn = jax.jit(warmup_seg)
+    warm_finish_fn = jax.jit(warmup_finish)
     chunk_fn = jax.jit(chunk_all)
 
     wkeys = jax.random.split(jax.random.fold_in(rng, 0), max(n_warmup, 1))
     wkeys = wkeys[:n_warmup]
+
+    def run_warmup(theta0):
+        carry = warm_init_fn(theta0)
+        wc = warmup_chunk if warmup_chunk > 0 else max(n_warmup, 1)
+        t = 0
+        while t < n_warmup:
+            seg = min(wc, n_warmup - t)
+            carry = warm_seg_fn(carry, wkeys[t:t + seg],
+                                mass_flags[t:t + seg])
+            t += seg
+        return warm_finish_fn(carry)
 
     chunk = checkpoint_every or (max(1, n_samples // 10)
                                  if checkpoint_path else n_samples)
@@ -338,7 +362,7 @@ def run_chains(
             # chunk sidecars so they cannot shadow this run's chunks.
             ckpt.clean_chunks(checkpoint_path)
         t0 = _time.perf_counter()
-        theta, step, inv_mass = warm_fn(theta0, wkeys)
+        theta, step, inv_mass = run_warmup(theta0)
         jax.block_until_ready(theta)
         warmup_seconds = _time.perf_counter() - t0
         draws, done = [], 0
@@ -445,6 +469,7 @@ def run_hmc(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     logp_grad_b: Optional[Callable] = None,
+    warmup_chunk: int = 0,
 ) -> HMCResult:
     """Run batched HMC chains with windowed warmup; optionally sharded.
 
@@ -476,7 +501,7 @@ def run_hmc(
         n_samples=n_samples, n_warmup=n_warmup, init_step=init_step,
         target_accept=target_accept, mesh=mesh, chain_axis=chain_axis,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
-        kernel_id=f"hmc:leapfrog{n_leapfrog}",
+        kernel_id=f"hmc:leapfrog{n_leapfrog}", warmup_chunk=warmup_chunk,
     )
 
 

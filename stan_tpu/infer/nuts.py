@@ -271,6 +271,7 @@ def run_nuts(
     chain_axis: str = "chains",
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
+    warmup_chunk: int = 0,
 ) -> hmc_mod.HMCResult:
     """NUTS with HMC-style windowed warmup; same chain batching/sharding
     and chunked checkpoint/resume as run_hmc (shared driver:
@@ -301,5 +302,5 @@ def run_nuts(
         n_samples=n_samples, n_warmup=n_warmup, init_step=init_step,
         target_accept=target_accept, mesh=mesh, chain_axis=chain_axis,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
-        kernel_id=f"nuts:maxdepth{max_depth}",
+        kernel_id=f"nuts:maxdepth{max_depth}", warmup_chunk=warmup_chunk,
     )

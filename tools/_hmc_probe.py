@@ -14,6 +14,6 @@ for n_chains in (16,):
     t0 = time.time()
     res = hmc.run_hmc(prob.log_posterior, theta0, jax.random.PRNGKey(11),
                       n_samples=8, n_warmup=8, n_leapfrog=8, init_step=0.02,
-                      checkpoint_every=4)
+                      checkpoint_every=4, warmup_chunk=4)
     print(f"chains={n_chains}: wall {time.time()-t0:.1f}s warmup {res.warmup_seconds:.1f}s "
           f"chunks {res.chunk_seconds} accept {np.mean(res.accept_rate):.3f}", flush=True)
