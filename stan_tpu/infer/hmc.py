@@ -106,6 +106,50 @@ def hmc_transition(logp_grad_b, rng, state: HMCState, step, inv_mass,
     return out, accept_prob
 
 
+def _find_reasonable_step(logp_grad_b, key, state: HMCState, inv_mass,
+                          step0, max_doublings: int = 24):
+    """Stan's init-stepsize search, batched per chain: from step0, double
+    while a single-leapfrog proposal accepts with probability > 1/2, or
+    halve while it accepts with probability < 1/2 (each chain
+    independently, masked until all settle). Dual averaging then starts in
+    the right decade — starting it at a wildly-too-large step on a stiff
+    FEM posterior wastes the whole init buffer rejecting (and a -inf
+    logp's zero-gradient guard lets trajectories run away), which is how
+    the 32^3 calibration bench landed at 0 acceptance without this.
+    """
+    log_half = jnp.asarray(np.log(0.5), state.logp.dtype)
+
+    def log_accept(step):
+        p0 = jax.random.normal(key, state.theta.shape, state.theta.dtype)
+        p0 = p0 * jnp.sqrt(1.0 / inv_mass)
+        new, p1 = _leapfrog(logp_grad_b, state, p0, step, inv_mass, 1)
+        ke0 = 0.5 * jnp.sum(inv_mass * p0**2, axis=-1)
+        ke1 = 0.5 * jnp.sum(inv_mass * p1**2, axis=-1)
+        la = (new.logp - ke1) - (state.logp - ke0)
+        return jnp.where(jnp.isfinite(la), la, -jnp.inf)
+
+    la0 = log_accept(step0)
+    up = la0 > log_half  # double while accepting; else halve
+
+    def cond(c):
+        _, _, done, k = c
+        return jnp.logical_and(jnp.any(~done), k < max_doublings)
+
+    def body(c):
+        step, la, done, k = c
+        factor = jnp.where(up, 2.0, 0.5).astype(step.dtype)
+        step_n = jnp.where(done, step, step * factor)
+        la_n = log_accept(step_n)
+        la_n = jnp.where(done, la, la_n)
+        settled = jnp.where(up, la_n <= log_half, la_n >= log_half)
+        return step_n, la_n, done | settled, k + 1
+
+    done0 = jnp.where(up, la0 <= log_half, la0 >= log_half)
+    step, _, _, _ = jax.lax.while_loop(
+        cond, body, (step0, la0, done0, jnp.int32(0)))
+    return step
+
+
 def _dual_avg_init(step0):
     log_step = jnp.log(step0)
     return DualAvgState(
@@ -263,15 +307,18 @@ def run_chains(
         state, ap, ne = transition(key_t, state, step, inv_mass)
         return (state, step, inv_mass), (state.theta, ap, ne)
 
-    def warmup_init(theta_init):
+    def warmup_init(theta_init, init_key):
         v, g = logp_grad_b(theta_init)
         state = HMCState(theta_init, v, g)
-        da = _dual_avg_init(
-            jnp.full((n_chains,), init_step, theta_init.dtype))
+        inv_mass0 = jnp.ones_like(theta_init)
+        step0 = jnp.full((n_chains,), init_step, theta_init.dtype)
+        step0 = _find_reasonable_step(logp_grad_b, init_key, state,
+                                      inv_mass0, step0)
+        da = _dual_avg_init(step0)
         return (state, da, jnp.zeros_like(theta_init),
                 jnp.zeros_like(theta_init),
                 jnp.asarray(0.0, theta_init.dtype),
-                jnp.ones_like(theta_init))
+                inv_mass0)
 
     def warmup_seg(carry, keys, flags):
         carry, _ = jax.lax.scan(warmup_scan, carry, (keys, flags))
@@ -309,7 +356,7 @@ def run_chains(
     wkeys = wkeys[:n_warmup]
 
     def run_warmup(theta0):
-        carry = warm_init_fn(theta0)
+        carry = warm_init_fn(theta0, jax.random.fold_in(rng, 2))
         wc = warmup_chunk if warmup_chunk > 0 else max(n_warmup, 1)
         t = 0
         while t < n_warmup:
