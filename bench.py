@@ -211,12 +211,18 @@ def main() -> int:
         "overhead_vs_uncertified_base": round(
             max(cert.seconds - tol_dt, 0.0) / max(tol_dt, 1e-9), 3),
         "note": (
-            "certified true-residual <= 1e-6 solve, entirely on-device: "
-            "the df32 compensated sweep (fem/df32.py) replaces round 4's "
-            "0.67 s of host f64 sweeps + transfers; restarted cycles make "
-            "total certified iterations ~ the uncertified base solve's "
-            "(CG cost to a fixed relative tolerance is ~constant per "
-            "cycle), so certification rides along nearly free."
+            "Certified true-residual <= 1e-6 solve, entirely on-device and "
+            "in ONE dispatch: the df32 compensated sweep (fem/df32.py) "
+            "replaces round 4's 0.67 s of host f64 sweeps + transfers "
+            "(r4 refine total 1.56 s -> ~0.2 s marginal now). Remaining "
+            "overhead analysis: the f32 correction floor (~2e-3, the "
+            "measured true-residual stall of any single f32 CG solve) "
+            "forces 3 restart cycles, and each CG restart pays a measured "
+            "~140-iteration spectrum-rediscovery cost, so the certified "
+            "path runs ~1024 iterations where the uncertified recurrence "
+            "stops at 559. Known next lever: residual replacement (van "
+            "der Vorst-Ye) inside a single CG run using the df32 sweep "
+            "every ~100 iterations, which removes the restart penalty."
         ),
     }
 
@@ -279,7 +285,13 @@ def _calibration_problem(g: int):
     obs_nodes = np.repeat(nodes, 3)
     obs_dirs = np.tile([0, 1, 2], len(nodes))
     rng = np.random.default_rng(0)
-    sigma = 1e-4 * float(np.abs(u_true).max())
+    # 1% measurement noise: with 384 observations this gives a posterior
+    # sd(log E) ~ 5e-4 — hundreds of f32 ulps of theta, comfortably
+    # resolvable. (Round 4 used 1e-4 relative noise, which squeezes the
+    # posterior to ~5 ulps of a float32 log E ~ 12.2: proposals round to
+    # no-ops, the chain cannot move, and the measured "samples/s" was a
+    # quantization artifact.)
+    sigma = 1e-2 * float(np.abs(u_true).max())
     y = u_true[obs_nodes, obs_dirs] + sigma * rng.normal(size=len(obs_nodes))
     prob = calibrate.make_problem(model, obs_nodes, obs_dirs, y, sigma,
                                   cg_tol=1e-6)
@@ -336,18 +348,19 @@ def _hmc_bench(g: int, small: bool) -> dict:
 
     rows = []
     for n_chains in chain_counts:
-        # Keep every device dispatch well under the runtime watchdog: a
-        # 16-chain FEM warmup/chunk is minutes of device time if launched
-        # as one scan (observed TPU fault), so both warmup and sampling
-        # run in small segments.
+        # Keep every device dispatch well under the runtime watchdog
+        # (~60 s): device time per warmup/sampling step scales with
+        # n_chains, so segment lengths scale inversely (a 16-chain
+        # 8-step warmup segment is ~70 s and faults the device).
         chunk = 5 if small else max(5, 20 // max(n_chains // 4, 1))
+        wchunk = max(2, 32 // max(n_chains, 1))
         theta0 = jnp.asarray(
             np.array([np.log(210000.0), 0.0, 0.0])[None]
             + 0.05 * rng.normal(size=(n_chains, 3)))
         res = hmc.run_hmc(
             prob.log_posterior, theta0, jax.random.PRNGKey(11),
             n_samples=n_samples, n_warmup=64, n_leapfrog=n_leapfrog,
-            init_step=0.02, checkpoint_every=chunk, warmup_chunk=8,
+            init_step=0.02, checkpoint_every=chunk, warmup_chunk=wchunk,
         )
         row = {
             "n_chains": n_chains,

@@ -107,7 +107,7 @@ def hmc_transition(logp_grad_b, rng, state: HMCState, step, inv_mass,
 
 
 def _find_reasonable_step(logp_grad_b, key, state: HMCState, inv_mass,
-                          step0, max_doublings: int = 24):
+                          step0, max_doublings: int = 12):
     """Stan's init-stepsize search, batched per chain: from step0, double
     while a single-leapfrog proposal accepts with probability > 1/2, or
     halve while it accepts with probability < 1/2 (each chain

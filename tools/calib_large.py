@@ -53,7 +53,7 @@ def main() -> int:
     obs_nodes = np.repeat(nodes, 3)
     obs_dirs = np.tile([0, 1, 2], len(nodes))
     rng = np.random.default_rng(0)
-    sigma = 1e-4 * float(np.abs(u_true).max())
+    sigma = 1e-2 * float(np.abs(u_true).max())
     y = u_true[obs_nodes, obs_dirs] + sigma * rng.normal(size=len(obs_nodes))
     prob = calibrate.make_problem(model, obs_nodes, obs_dirs, y, sigma,
                                   cg_tol=1e-6)
