@@ -342,7 +342,6 @@ def _hmc_bench(g: int, small: bool) -> dict:
 
     model, prob = _calibration_problem(g)
     n_leapfrog = 8
-    n_samples = 20 if small else 100
     chain_counts = (1, 2) if small else (1, 4, 16)
     rng = np.random.default_rng(7)
 
@@ -350,9 +349,12 @@ def _hmc_bench(g: int, small: bool) -> dict:
     for n_chains in chain_counts:
         # Keep every device dispatch well under the runtime watchdog
         # (~60 s): device time per warmup/sampling step scales with
-        # n_chains, so segment lengths scale inversely (a 16-chain
-        # 8-step warmup segment is ~70 s and faults the device).
-        chunk = 5 if small else max(5, 20 // max(n_chains // 4, 1))
+        # n_chains (one chain-synchronized solve per leapfrog step), so
+        # segment lengths scale inversely — measured ~0.03 s/solve at 1
+        # chain, ~0.6 s at 16 chains; a 10-sample 16-chain chunk is
+        # ~95 s of device time and faults the device.
+        n_samples = 20 if small else {1: 100, 4: 50}.get(n_chains, 25)
+        chunk = 5 if small else max(2, 24 // n_chains)
         wchunk = max(2, 32 // max(n_chains, 1))
         theta0 = jnp.asarray(
             np.array([np.log(210000.0), 0.0, 0.0])[None]
@@ -364,6 +366,8 @@ def _hmc_bench(g: int, small: bool) -> dict:
         )
         row = {
             "n_chains": n_chains,
+            "n_samples": n_samples,
+            "total_draws": n_chains * n_samples,
             "samples_per_s_chip": round(_steady_sps(res, n_chains), 3),
             "accept_rate": float(np.mean(res.accept_rate)),
             "step_size": float(np.mean(res.step_size)),
@@ -375,9 +379,9 @@ def _hmc_bench(g: int, small: bool) -> dict:
         "metric": f"hmc_samples_per_s_chip_{g}cubed_fem_calibration",
         "ndof": int(3 * model.nnode),
         "n_leapfrog": n_leapfrog,
-        "n_samples": n_samples,
         "n_warmup": 64,
-        "warmup": "Stan-style windowed step+mass co-adaptation",
+        "warmup": "Stan-style windowed step+mass co-adaptation "
+                  "+ init-stepsize search",
         "rows": rows,
     }
 
@@ -393,7 +397,7 @@ def _nuts_bench(g: int, small: bool) -> dict:
 
     model, prob = _calibration_problem(g)
     n_chains = 2 if small else 4
-    n_samples = 10 if small else 60
+    n_samples = 10 if small else 40
     rng = np.random.default_rng(9)
     theta0 = jnp.asarray(
         np.array([np.log(210000.0), 0.0, 0.0])[None]
@@ -401,8 +405,7 @@ def _nuts_bench(g: int, small: bool) -> dict:
     res = nuts.run_nuts(
         prob.log_posterior, theta0, jax.random.PRNGKey(13),
         n_samples=n_samples, n_warmup=32 if small else 64, max_depth=6,
-        init_step=0.02, checkpoint_every=max(5, n_samples // 6),
-        warmup_chunk=8,
+        init_step=0.02, checkpoint_every=4, warmup_chunk=2,
     )
     return {
         "metric": f"nuts_samples_per_s_chip_{g}cubed_fem_calibration",

@@ -87,12 +87,23 @@ def hmc_transition(logp_grad_b, rng, state: HMCState, step, inv_mass,
     generation (counter-based PRNG: deterministic and placement-independent,
     so chain sharding cannot change the draws). Returns (state, accept_prob
     [C]).
+
+    The integration step is jittered +-20% per transition and chain:
+    fixed-length HMC resonates when step*n_steps hits a multiple of a
+    posterior mode's oscillation period — trajectories return near their
+    start, acceptance looks great, and the chain stops exploring (observed
+    on the correlated-Gaussian suite once the init-stepsize search started
+    landing on larger, resonance-prone steps). Jitter is the standard
+    de-resonance fix (Neal 2011, §3.2).
     """
-    k_mom, k_acc = jax.random.split(rng)
+    k_mom, k_acc, k_jit = jax.random.split(rng, 3)
     mass = 1.0 / inv_mass
     p0 = jax.random.normal(k_mom, state.theta.shape, state.theta.dtype)
     p0 = p0 * jnp.sqrt(mass)
-    new, p1 = _leapfrog(logp_grad_b, state, p0, step, inv_mass, n_steps)
+    jitter = 0.8 + 0.4 * jax.random.uniform(k_jit, state.logp.shape,
+                                            state.logp.dtype)
+    new, p1 = _leapfrog(logp_grad_b, state, p0, step * jitter, inv_mass,
+                        n_steps)
     ke0 = 0.5 * jnp.sum(inv_mass * p0**2, axis=-1)
     ke1 = 0.5 * jnp.sum(inv_mass * p1**2, axis=-1)
     log_ratio = (new.logp - ke1) - (state.logp - ke0)

@@ -14,7 +14,7 @@ print("start row", nch, flush=True)
 t0 = time.time()
 res = hmc.run_hmc(prob.log_posterior, theta0, jax.random.PRNGKey(11),
                   n_samples=20, n_warmup=64, n_leapfrog=8, init_step=0.02,
-                  checkpoint_every=10, warmup_chunk=2)
+                  checkpoint_every=2, warmup_chunk=2)
 print(f"row {nch}: wall {time.time()-t0:.0f}s warmup {res.warmup_seconds:.0f}s "
       f"accept {np.mean(res.accept_rate):.3f} step {np.mean(res.step_size):.2e} "
       f"sd {res.samples[...,0].std():.2e}", flush=True)
