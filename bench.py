@@ -47,6 +47,18 @@ CPU_BASELINE_ITERS_PER_S = 5.26
 
 def main() -> int:
     small = "--small" in sys.argv
+    # Worker modes: the sampler benches run in SUBPROCESSES — the long
+    # in-process sampler runs after the CG/certified section repeatedly
+    # crashed the tunnel's device worker (standalone the same rows pass),
+    # and a fresh process per block both isolates the fault and leaves the
+    # already-computed numbers intact.
+    if "--hmc-row" in sys.argv:
+        n_chains = int(sys.argv[sys.argv.index("--hmc-row") + 1])
+        print("\n" + json.dumps(_hmc_row(8 if small else 32, small, n_chains)))
+        return 0
+    if "--nuts-block" in sys.argv:
+        print("\n" + json.dumps(_nuts_bench(8 if small else 32, small)))
+        return 0
     n = 12 if small else 70  # 70^3 -> 1,073,733 DOF
 
     import numpy as np
@@ -227,17 +239,20 @@ def main() -> int:
     }
 
     # ---- HMC samples/s/chip (BASELINE.json second metric) ----------------
-    hmc_stats = None
-    try:
-        hmc_stats = _hmc_bench(8 if small else 32, small)
-    except Exception as e:  # never let the inference bench kill the CG line
-        hmc_stats = {"error": f"{type(e).__name__}: {e}"}
-
-    nuts_stats = None
-    try:
-        nuts_stats = _nuts_bench(8 if small else 32, small)
-    except Exception as e:
-        nuts_stats = {"error": f"{type(e).__name__}: {e}"}
+    g = 8 if small else 32
+    chain_counts = (1, 2) if small else (1, 4, 16)
+    rows = []
+    for n_chains in chain_counts:
+        rows.append(_subprocess_json(["--hmc-row", str(n_chains)], small))
+    hmc_stats = {
+        "metric": f"hmc_samples_per_s_chip_{g}cubed_fem_calibration",
+        "n_leapfrog": 8,
+        "n_warmup": 64,
+        "warmup": "Stan-style windowed step+mass co-adaptation "
+                  "+ init-stepsize search + de-resonance step jitter",
+        "rows": rows,
+    }
+    nuts_stats = _subprocess_json(["--nuts-block"], small)
 
     print(json.dumps({
         "metric": f"cg_iters_per_s_{ndof}dof_hex8_f32",
@@ -328,9 +343,30 @@ def _steady_sps(res, n_chains):
     return n_chains * steady_n / steady_s if steady_s > 0 else 0.0
 
 
-def _hmc_bench(g: int, small: bool) -> dict:
-    """HMC samples/s/chip on a g^3-element FEM calibration (stencil
-    forward) at 1, 4, and 16 vmapped chains — the 16-chain row is what a
+def _subprocess_json(extra_args, small: bool) -> dict:
+    """Run one sampler block as `python bench.py <extra_args>` in a fresh
+    process (fresh device client) and parse its final JSON line."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__)] + list(extra_args)
+    if small:
+        cmd.append("--small")
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3600)
+        lines = [ln for ln in out.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if out.returncode != 0 or not lines:
+            return {"error": f"rc={out.returncode}",
+                    "tail": (out.stdout + out.stderr)[-400:]}
+        return json.loads(lines[-1])
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
+def _hmc_row(g: int, small: bool, n_chains: int) -> dict:
+    """One HMC samples/s/chip row on the g^3 FEM calibration (stencil
+    forward) at `n_chains` vmapped chains — the 16-chain row is what a
     production chip runs (one batched Pallas theta-sweep per leapfrog step
     serves every chain; round 4 measured a single chain that left the chip
     idle between kernels, VERDICT r4 weak item 3)."""
@@ -342,47 +378,34 @@ def _hmc_bench(g: int, small: bool) -> dict:
 
     model, prob = _calibration_problem(g)
     n_leapfrog = 8
-    chain_counts = (1, 2) if small else (1, 4, 16)
     rng = np.random.default_rng(7)
-
-    rows = []
-    for n_chains in chain_counts:
-        # Keep every device dispatch well under the runtime watchdog
-        # (~60 s): device time per warmup/sampling step scales with
-        # n_chains (one chain-synchronized solve per leapfrog step), so
-        # segment lengths scale inversely — measured ~0.03 s/solve at 1
-        # chain, ~0.6 s at 16 chains; a 10-sample 16-chain chunk is
-        # ~95 s of device time and faults the device.
-        n_samples = 20 if small else {1: 100, 4: 50}.get(n_chains, 25)
-        chunk = 5 if small else max(2, 24 // n_chains)
-        wchunk = max(2, 32 // max(n_chains, 1))
-        theta0 = jnp.asarray(
-            np.array([np.log(210000.0), 0.0, 0.0])[None]
-            + 0.05 * rng.normal(size=(n_chains, 3)))
-        res = hmc.run_hmc(
-            prob.log_posterior, theta0, jax.random.PRNGKey(11),
-            n_samples=n_samples, n_warmup=64, n_leapfrog=n_leapfrog,
-            init_step=0.02, checkpoint_every=chunk, warmup_chunk=wchunk,
-        )
-        row = {
-            "n_chains": n_chains,
-            "n_samples": n_samples,
-            "total_draws": n_chains * n_samples,
-            "samples_per_s_chip": round(_steady_sps(res, n_chains), 3),
-            "accept_rate": float(np.mean(res.accept_rate)),
-            "step_size": float(np.mean(res.step_size)),
-            "warmup_seconds": round(res.warmup_seconds, 2),
-            **_posterior_summary(res, n_chains),
-        }
-        rows.append(row)
+    # Keep every device dispatch well under the runtime watchdog (~60 s):
+    # device time per warmup/sampling step scales with n_chains (one
+    # chain-synchronized solve per leapfrog step), so segment lengths
+    # scale inversely — measured ~0.03 s/solve at 1 chain, ~0.6 s at 16
+    # chains; a 10-sample 16-chain chunk is ~95 s of device time and
+    # faults the device.
+    n_samples = 20 if small else {1: 100, 4: 50}.get(n_chains, 25)
+    chunk = 5 if small else max(2, 24 // n_chains)
+    wchunk = max(2, 32 // max(n_chains, 1))
+    theta0 = jnp.asarray(
+        np.array([np.log(210000.0), 0.0, 0.0])[None]
+        + 0.05 * rng.normal(size=(n_chains, 3)))
+    res = hmc.run_hmc(
+        prob.log_posterior, theta0, jax.random.PRNGKey(11),
+        n_samples=n_samples, n_warmup=64, n_leapfrog=n_leapfrog,
+        init_step=0.02, checkpoint_every=chunk, warmup_chunk=wchunk,
+    )
     return {
-        "metric": f"hmc_samples_per_s_chip_{g}cubed_fem_calibration",
+        "n_chains": n_chains,
+        "n_samples": n_samples,
+        "total_draws": n_chains * n_samples,
         "ndof": int(3 * model.nnode),
-        "n_leapfrog": n_leapfrog,
-        "n_warmup": 64,
-        "warmup": "Stan-style windowed step+mass co-adaptation "
-                  "+ init-stepsize search",
-        "rows": rows,
+        "samples_per_s_chip": round(_steady_sps(res, n_chains), 3),
+        "accept_rate": float(np.mean(res.accept_rate)),
+        "step_size": float(np.mean(res.step_size)),
+        "warmup_seconds": round(res.warmup_seconds, 2),
+        **_posterior_summary(res, n_chains),
     }
 
 
@@ -429,6 +452,13 @@ def _load_scaling():
     with open(path) as fh:
         rec = json.loads(fh.read())
     rec["source"] = "SCALING.json (tools/chains_scaling.py artifact)"
+    rec["interpretation"] = (
+        "raw scaling_efficiency on this host is bounded by 8 virtual "
+        "devices sharing 2 physical cores (a wall-clock 8x is physically "
+        "impossible); sharded_vs_vmap isolates the cost of NamedSharding "
+        "placement itself against single-device vmap on identical silicon "
+        "— the signal that transfers to a real chips-per-chain pod."
+    )
     return rec
 
 
